@@ -1,0 +1,24 @@
+"""Algorithm registry (reference pql/algo/__init__.py:1-6 discovers
+Agent classes by AST scan; here it's an explicit map keyed by
+cfg.algo.name)."""
+
+from pql_tpu.algos.ddpg import DDPG, OffPolicyState
+from pql_tpu.algos.pql import PQL, PQLState
+
+ALGO_REGISTRY = {
+    "PQL": PQL,
+    "DDPG": DDPG,
+}
+
+
+def register_algo(name: str, cls) -> None:
+    ALGO_REGISTRY[name] = cls
+
+
+def get_algo(name: str):
+    if name not in ALGO_REGISTRY:
+        raise KeyError(f"Unknown algo '{name}'. Available: {sorted(ALGO_REGISTRY)}")
+    return ALGO_REGISTRY[name]
+
+
+__all__ = ["ALGO_REGISTRY", "register_algo", "get_algo", "DDPG", "PQL", "OffPolicyState", "PQLState"]

@@ -1,0 +1,433 @@
+"""PQL — Parallel Q-Learning as a single fused SPMD program (the flagship).
+
+The reference implements PQL as three asynchronous processes — an Isaac Gym
+sim actor (reference pql/algo/pql_actor.py), a Ray critic V-learner
+(pql/algo/pql_v_learner.py) on its own GPU, and a Ray policy P-learner
+(pql/algo/pql_p_learner.py) — coupled by a feedback rate controller that
+holds the critic:sim and critic:actor update ratios at configured targets
+(scripts/train_pql.py:127-158, pql_algo.yaml:17-18). That process split
+exists because one GPU cannot overlap sim and learning inside one program.
+
+On TPU the idiomatic design fuses all three roles into ONE jitted step,
+shard_mapped over the mesh env axis:
+
+    per outer iteration (one XLA program):
+      sim phase    : horizon_len vmapped env steps, mixed exploration noise
+                     (per-env std ladder over the *global* env index),
+                     obs-rms Welford merge across shards, n-step staging,
+                     ring-replay write — all in local HBM
+      critic phase : critic_sample_ratio × (sample local replay shard →
+                     TD/C51 update, grads pmean'd over the mesh → polyak)
+      actor phase  : (critic_sample_ratio / critic_actor_ratio) × DPG
+                     updates on obs sampled from the same replay
+
+The async rate controller becomes *exact integer ratios* — deterministic
+and reproducible — and "weight shipping" (pql_actor.py:122-126,
+train_pql.py:111-119) vanishes: every shard always holds current params.
+The V-learner's transition buffer and the P-learner's obs-only buffer
+(pql_p_learner.py:32-37) are one sharded ring: the P-learner stream is
+exactly the obs field of the V-learner stream, so storing it once is
+semantically identical and halves HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pql_tpu.algos import base
+from pql_tpu.envs import make_task
+from pql_tpu.envs.base import VecEnv, handle_timeout
+from pql_tpu.ops import RunningMeanStd, add_mixed_normal_noise, add_normal_noise, soft_update
+from pql_tpu.ops.distributional import binary_cross_entropy, categorical_td_target
+from pql_tpu.parallel import make_mesh, state_pspecs
+from pql_tpu.replay import create_nstep, create_replay, nstep_scan, replay_add, replay_sample
+from pql_tpu.utils.trackers import Tracker
+
+# state field → array axis carrying the env dimension (see parallel.mesh)
+ENV_AXIS_FIELDS = {
+    "env_state": 0,
+    "obs": 0,
+    "nstep": 1,
+    "replay": 1,
+    "cur_returns": 0,
+    "cur_lengths": 0,
+}
+
+
+@struct.dataclass
+class PQLState:
+    actor_params: Any
+    actor_opt: Any
+    critic_params: Any
+    critic_opt: Any
+    critic_target: Any
+    obs_rms: RunningMeanStd
+    env_state: Any
+    obs: jax.Array
+    nstep: Any
+    replay: Any
+    cur_returns: jax.Array  # [E] running episode returns (sharded)
+    cur_lengths: jax.Array  # [E]
+    return_tracker: Tracker  # replicated — updated outside shard_map
+    len_tracker: Tracker
+    success_tracker: Tracker
+    rng: jax.Array
+    env_steps: jax.Array
+    critic_update_count: jax.Array
+    actor_update_count: jax.Array
+
+
+class PQL:
+    """Fused PQL trainer over a device mesh."""
+
+    name = "PQL"
+
+    def __init__(self, cfg, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.num_devices)
+        self.axis = self.mesh.axis_names[0]
+        self.n_shards = self.mesh.devices.size
+        if cfg.num_envs % self.n_shards:
+            raise ValueError(f"num_envs={cfg.num_envs} not divisible by mesh size {self.n_shards}")
+        if cfg.algo.batch_size % self.n_shards:
+            raise ValueError(f"batch_size={cfg.algo.batch_size} not divisible by mesh size")
+        self.num_envs = cfg.num_envs
+        self.e_local = cfg.num_envs // self.n_shards
+        self.batch_local = cfg.algo.batch_size // self.n_shards
+
+        task = make_task(cfg.task)
+        self.env_local = VecEnv(task, self.e_local)  # per-shard view
+        self.env_global = VecEnv(task, cfg.num_envs)  # for init
+        self.obs_dim = task.obs_dim
+        self.action_dim = task.action_dim
+
+        (
+            self.actor,
+            self.critic,
+            self._actor_params0,
+            self._critic_params0,
+            self.actor_tx,
+            self.critic_tx,
+            self._actor_opt0,
+            self._critic_opt0,
+        ) = base.init_actor_critic(cfg, self.env_global, jax.random.PRNGKey(cfg.seed))
+
+        # does the task report a success signal? (info-tracking parity with
+        # reference update_tracker, pql_actor.py:139-147)
+        probe = jax.eval_shape(
+            lambda k: task.dynamics(task.init_state(k), jnp.zeros(task.action_dim), k)[3],
+            jax.random.PRNGKey(0),
+        )
+        self.has_success = "success" in probe
+
+        # update-ratio schedule: deterministic integer version of the
+        # reference's feedback controller (train_pql.py:127-158)
+        self.n_critic = int(cfg.algo.critic_sample_ratio)
+        self.n_actor = max(self.n_critic // int(cfg.algo.critic_actor_ratio), 1)
+
+        self._build_jitted()
+
+    # ------------------------------------------------------------ building
+
+    def _build_jitted(self):
+        cfg = self.cfg
+        state_shape = jax.eval_shape(self._init_global, jax.random.PRNGKey(0))
+        self.pspecs = state_pspecs(state_shape, ENV_AXIS_FIELDS, self.axis)
+        self.shardings = jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s),
+            self.pspecs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        self.init = jax.jit(self._init_global, out_shardings=self.shardings)
+
+        events_spec = {
+            k: P(None, self.axis) for k in ("ep_returns", "ep_lengths", "success", "done")
+        }
+
+        def make_step(horizon: int, random: bool, n_critic: int, n_actor: int):
+            inner = shard_map(
+                partial(
+                    self._fused_step_local,
+                    horizon=horizon,
+                    random=random,
+                    n_critic=n_critic,
+                    n_actor=n_actor,
+                ),
+                mesh=self.mesh,
+                in_specs=(self.pspecs,),
+                out_specs=(self.pspecs, events_spec, P()),
+                check_vma=False,
+            )
+
+            def outer(state):
+                state, events, losses = inner(state)
+                state = self._update_trackers(state, events)
+                metrics = {
+                    "train/critic_loss": losses[0],
+                    "train/actor_loss": losses[1],
+                    "train/return": state.return_tracker.mean(),
+                    "train/episode_length": state.len_tracker.mean(),
+                    "train/success_rate": state.success_tracker.mean(),
+                }
+                return state, metrics
+
+            return jax.jit(outer, donate_argnums=0)
+
+        self.train_iter = make_step(
+            cfg.algo.horizon_len, False, self.n_critic * cfg.algo.horizon_len,
+            self.n_actor * cfg.algo.horizon_len,
+        )
+        # warm-up: random exploration, no learning (train_pql.py:58)
+        self.warmup = make_step(cfg.algo.warm_up, True, 0, 0)
+
+    # ---------------------------------------------------------------- init
+
+    def _init_global(self, rng) -> PQLState:
+        cfg = self.cfg
+        k_env, k_loop = jax.random.split(rng)
+        env_state, obs = self.env_global.reset(k_env)
+        slots = max(int(cfg.algo.memory_size) // cfg.num_envs, 1)
+        replay = create_replay(
+            slots=slots,
+            num_envs=cfg.num_envs,
+            obs_dim=self.obs_dim,
+            action_dim=self.action_dim,
+            obs_dtype=jnp.bfloat16 if cfg.algo.replay_dtype == "bfloat16" else jnp.float32,
+            valid_start=cfg.algo.nstep - 1,
+        )
+        tracker_len = cfg.algo.tracker_len
+        return PQLState(
+            actor_params=self._actor_params0,
+            actor_opt=self._actor_opt0,
+            critic_params=self._critic_params0,
+            critic_opt=self._critic_opt0,
+            critic_target=self._critic_params0,
+            obs_rms=RunningMeanStd.create((self.obs_dim,)),
+            env_state=env_state,
+            obs=obs,
+            nstep=create_nstep(
+                cfg.num_envs, self.obs_dim, self.action_dim, cfg.algo.nstep, cfg.algo.gamma
+            ),
+            replay=replay,
+            cur_returns=jnp.zeros(cfg.num_envs, jnp.float32),
+            cur_lengths=jnp.zeros(cfg.num_envs, jnp.float32),
+            return_tracker=Tracker.create(tracker_len),
+            len_tracker=Tracker.create(tracker_len),
+            success_tracker=Tracker.create(tracker_len),
+            rng=k_loop,
+            env_steps=jnp.zeros((), jnp.int32),
+            critic_update_count=jnp.zeros((), jnp.int32),
+            actor_update_count=jnp.zeros((), jnp.int32),
+        )
+
+    # -------------------------------------------------------- shard kernel
+
+    def _fused_step_local(
+        self, state: PQLState, *, horizon: int, random: bool, n_critic: int, n_actor: int
+    ):
+        """One fused PQL iteration on the local shard (runs inside
+        shard_map; collectives: rms psum, grad pmean, loss pmean)."""
+        cfg = self.cfg
+        ax = jax.lax.axis_index(self.axis)
+        rng, k_roll, k_crit, k_act = jax.random.split(state.rng, 4)
+        k_roll = jax.random.fold_in(k_roll, ax)
+
+        # ---------------- sim phase (pql_actor.explore_env, :87-127) ------
+        def sim_step(carry, _):
+            env_state, obs, obs_rms, cur_ret, cur_len, k = carry
+            k, k_a, k_n, k_e = jax.random.split(k, 4)
+            if cfg.algo.obs_norm:
+                obs_rms = obs_rms.update_sharded(obs, self.axis)
+                obs_n = obs_rms.normalize(obs)
+            else:
+                obs_n = obs
+            if random:
+                action = jax.random.uniform(
+                    k_a, (self.e_local, self.action_dim), jnp.float32, -1.0, 1.0
+                )
+            elif cfg.algo.noise.type == "mixed":
+                action = add_mixed_normal_noise(
+                    k_n,
+                    self.actor.apply(state.actor_params, obs_n),
+                    cfg.algo.noise.std_min,
+                    cfg.algo.noise.std_max,
+                    out_bounds=(-1.0, 1.0),
+                    num_envs_global=self.num_envs,
+                    global_start=ax * self.e_local,
+                )
+            else:
+                action = add_normal_noise(
+                    k_n,
+                    self.actor.apply(state.actor_params, obs_n),
+                    cfg.algo.noise.std_max,
+                    out_bounds=(-1.0, 1.0),
+                )
+            env_state, next_obs, reward, done, info = self.env_local.step(env_state, action, k_e)
+
+            # episode accounting (pql_actor.update_tracker, :129-147)
+            cur_ret = cur_ret + reward
+            cur_len = cur_len + 1.0
+            events = dict(
+                ep_returns=cur_ret,
+                ep_lengths=cur_len,
+                success=info.get("success", jnp.zeros_like(reward)),
+                done=done,
+            )
+            done_mask = done > 0.5
+            cur_ret = jnp.where(done_mask, 0.0, cur_ret)
+            cur_len = jnp.where(done_mask, 0.0, cur_len)
+
+            done_b = handle_timeout(done, info) if cfg.algo.handle_timeout else done
+            out = dict(
+                obs=obs,
+                action=action,
+                reward=(cfg.algo.reward_scale * reward)[..., None],
+                next_obs=next_obs,
+                done=done_b[..., None],
+            )
+            return (env_state, next_obs, obs_rms, cur_ret, cur_len, k), (out, events)
+
+        carry = (state.env_state, state.obs, state.obs_rms, state.cur_returns, state.cur_lengths, k_roll)
+        carry, (traj, events) = jax.lax.scan(sim_step, carry, None, length=horizon)
+        env_state, obs, obs_rms, cur_returns, cur_lengths, _ = carry
+
+        nstep, emitted, _valid = nstep_scan(state.nstep, traj)
+        replay = replay_add(state.replay, emitted)
+
+        state = state.replace(
+            env_state=env_state,
+            obs=obs,
+            obs_rms=obs_rms,
+            cur_returns=cur_returns,
+            cur_lengths=cur_lengths,
+            nstep=nstep,
+            replay=replay,
+            rng=rng,
+            env_steps=state.env_steps + horizon * self.num_envs,
+        )
+
+        # ---------------- critic phase (pql_v_learner.learn, :73-115) -----
+        gamma_n = cfg.algo.gamma ** cfg.algo.nstep
+
+        def critic_loss_fn(critic_params, batch, k_tgt):
+            obs_n = obs_rms.normalize_clip(batch["obs"]) if cfg.algo.obs_norm else batch["obs"]
+            next_obs_n = (
+                obs_rms.normalize_clip(batch["next_obs"]) if cfg.algo.obs_norm else batch["next_obs"]
+            )
+            # target-policy smoothing with the *current* actor — PQL ships
+            # the live actor, no target actor (pql_v_learner.py:62-71)
+            next_actions = base.target_policy_actions(
+                cfg, self.actor, state.actor_params, next_obs_n, k_tgt
+            )
+            if cfg.algo.distl:
+                p1_t, p2_t = self.critic.apply(state.critic_target, next_obs_n, next_actions)
+                target = categorical_td_target(
+                    p1_t, p2_t, batch["reward"], batch["done"], gamma_n,
+                    cfg.algo.v_min, cfg.algo.v_max,
+                )
+                target = jax.lax.stop_gradient(target)
+                p1, p2 = self.critic.apply(critic_params, obs_n, batch["action"])
+                loss = binary_cross_entropy(p1, target) + binary_cross_entropy(p2, target)
+            else:
+                q_next = self.critic.apply(
+                    state.critic_target, next_obs_n, next_actions, method=type(self.critic).q_min
+                )
+                target = batch["reward"] + (1.0 - batch["done"]) * gamma_n * q_next
+                target = jax.lax.stop_gradient(target)
+                q1, q2 = self.critic.apply(critic_params, obs_n, batch["action"])
+                loss = jnp.mean(jnp.square(q1 - target)) + jnp.mean(jnp.square(q2 - target))
+            return loss
+
+        def critic_update(c, k):
+            critic_params, critic_opt, critic_target = c
+            k_s, k_t = jax.random.split(jax.random.fold_in(k, ax))
+            batch = replay_sample(replay, k_s, self.batch_local)
+            loss, grads = jax.value_and_grad(critic_loss_fn)(critic_params, batch, k_t)
+            grads = jax.lax.pmean(grads, self.axis)
+            loss = jax.lax.pmean(loss, self.axis)
+            updates, critic_opt = self.critic_tx.update(grads, critic_opt, critic_params)
+            critic_params = jax.tree_util.tree_map(lambda p, u: p + u, critic_params, updates)
+            critic_target = soft_update(critic_target, critic_params, cfg.algo.tau)
+            return (critic_params, critic_opt, critic_target), loss
+
+        if n_critic > 0:
+            keys = jax.random.split(k_crit, n_critic)
+            (critic_params, critic_opt, critic_target), c_losses = jax.lax.scan(
+                critic_update,
+                (state.critic_params, state.critic_opt, state.critic_target),
+                keys,
+            )
+            critic_loss = jnp.mean(c_losses)
+            state = state.replace(
+                critic_params=critic_params,
+                critic_opt=critic_opt,
+                critic_target=critic_target,
+                critic_update_count=state.critic_update_count + n_critic,
+            )
+        else:
+            critic_loss = jnp.zeros(())
+
+        # ---------------- actor phase (pql_p_learner.learn, :47-64) -------
+        def actor_loss_fn(actor_params, obs_n):
+            action = self.actor.apply(actor_params, obs_n)
+            q = self.critic.apply(
+                jax.lax.stop_gradient(state.critic_params), obs_n, action,
+                method=type(self.critic).q_min,
+            )
+            return -jnp.mean(q)
+
+        def actor_update(c, k):
+            actor_params, actor_opt = c
+            k_s = jax.random.fold_in(k, ax)
+            batch = replay_sample(replay, k_s, self.batch_local, fields=("obs",))
+            obs_n = obs_rms.normalize_clip(batch["obs"]) if cfg.algo.obs_norm else batch["obs"]
+            loss, grads = jax.value_and_grad(actor_loss_fn)(actor_params, obs_n)
+            grads = jax.lax.pmean(grads, self.axis)
+            loss = jax.lax.pmean(loss, self.axis)
+            updates, actor_opt = self.actor_tx.update(grads, actor_opt, actor_params)
+            actor_params = jax.tree_util.tree_map(lambda p, u: p + u, actor_params, updates)
+            return (actor_params, actor_opt), loss
+
+        if n_actor > 0:
+            keys = jax.random.split(k_act, n_actor)
+            (actor_params, actor_opt), a_losses = jax.lax.scan(
+                actor_update, (state.actor_params, state.actor_opt), keys
+            )
+            actor_loss = jnp.mean(a_losses)
+            state = state.replace(
+                actor_params=actor_params,
+                actor_opt=actor_opt,
+                actor_update_count=state.actor_update_count + n_actor,
+            )
+        else:
+            actor_loss = jnp.zeros(())
+
+        return state, events, jnp.stack([critic_loss, actor_loss])
+
+    # --------------------------------------------------------- tracker fold
+
+    def _update_trackers(self, state: PQLState, events) -> PQLState:
+        """Fold per-step episode-completion events (gathered across shards)
+        into the replicated sliding-window trackers."""
+        done = events["done"].reshape(-1) > 0.5
+        state = state.replace(
+            return_tracker=state.return_tracker.update(events["ep_returns"].reshape(-1), done),
+            len_tracker=state.len_tracker.update(events["ep_lengths"].reshape(-1), done),
+        )
+        if self.has_success:
+            state = state.replace(
+                success_tracker=state.success_tracker.update(events["success"].reshape(-1), done)
+            )
+        return state
+
+    # ---------------------------------------------------------- eval hook
+
+    def eval_actor_apply(self, params, obs_n):
+        return self.actor.apply(params, obs_n)

@@ -1,0 +1,131 @@
+"""On-HBM circular replay buffer as an immutable pytree.
+
+Reproduces the semantics of the reference GPU-resident flat ring buffer
+(reference pql/replay/simple_replay.py:21-104): preallocated storage,
+wrap-around writes, uniform random sampling — re-laid-out for TPU:
+
+- Storage is [slots, envs, dim] with the **env axis shardable over the
+  mesh**, so each device keeps its own shard of the 5e6-transition buffer
+  in local HBM and sampling never crosses chips (the reference keeps the
+  whole buffer on the learner GPU, pql/algo/pql_v_learner.py:50-53).
+- Writes are whole env-rows per time slot: adding a [T, E, ...] trajectory
+  chunk advances the slot ring by T. This is the natural layout for
+  lockstep vectorized envs and makes the ring write a static
+  dynamic-update-slice instead of a scatter.
+- A ``valid_start`` watermark excludes the first (nstep-1) slots written
+  while the n-step FIFO was still filling (the reference instead skips
+  those emissions host-side, pql/replay/nstep_replay.py:44-45); once the
+  ring wraps, every slot is valid.
+
+Capacity accounting: ``slots = capacity // num_envs_global`` matches the
+reference's flat ``capacity`` transitions (pql_algo.yaml:7: 5e6).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ReplayState:
+    """Ring storage for one (possibly per-shard) slice of the buffer.
+
+    ``data`` is a dict of arrays shaped [slots, envs_local, ...]; required
+    keys for off-policy agents: obs, action, reward, next_obs, done.
+    """
+
+    data: dict[str, jax.Array]
+    ptr: jax.Array  # int32 — next slot to write
+    total_writes: jax.Array  # int32 — slots written since creation
+    slots: int = struct.field(pytree_node=False)
+    valid_start_init: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def filled(self) -> jax.Array:
+        return jnp.minimum(self.total_writes, self.slots)
+
+    @property
+    def valid_start(self) -> jax.Array:
+        # garbage prefix exists only until the ring wraps for the first time
+        wrapped = self.total_writes > self.slots
+        return jnp.where(wrapped, 0, self.valid_start_init).astype(jnp.int32)
+
+
+def create_replay(
+    slots: int,
+    num_envs: int,
+    obs_dim: int,
+    action_dim: int,
+    extra_fields: dict[str, int] | None = None,
+    obs_dtype=jnp.float32,
+    valid_start: int = 0,
+) -> ReplayState:
+    """Preallocate ring storage (reference simple_replay.py:4-18).
+
+    extra_fields maps name → feature dim for research variants (e.g. the
+    IDDPG second reward channel ``reward_left``, simple_replay.py:36-38).
+    """
+    data = {
+        "obs": jnp.zeros((slots, num_envs, obs_dim), obs_dtype),
+        "action": jnp.zeros((slots, num_envs, action_dim), jnp.float32),
+        "reward": jnp.zeros((slots, num_envs, 1), jnp.float32),
+        "next_obs": jnp.zeros((slots, num_envs, obs_dim), obs_dtype),
+        "done": jnp.zeros((slots, num_envs, 1), jnp.float32),
+    }
+    for name, dim in (extra_fields or {}).items():
+        data[name] = jnp.zeros((slots, num_envs, dim), jnp.float32)
+    return ReplayState(
+        data=data,
+        ptr=jnp.zeros((), jnp.int32),
+        total_writes=jnp.zeros((), jnp.int32),
+        slots=slots,
+        valid_start_init=valid_start,
+    )
+
+
+def replay_add(state: ReplayState, rows: dict[str, jax.Array]) -> ReplayState:
+    """Write a [T, E, ...] chunk at the ring pointer with wraparound.
+
+    The reference does the wrap as a two-slice copy (simple_replay.py:54-72);
+    here T is small and static (horizon_len), so a per-slot scatter with
+    modular indices compiles to the same HBM traffic without host logic.
+    """
+    t = next(iter(rows.values())).shape[0]
+    idx = (state.ptr + jnp.arange(t, dtype=jnp.int32)) % state.slots
+    new_data = dict(state.data)
+    for k, v in rows.items():
+        new_data[k] = state.data[k].at[idx].set(v.astype(state.data[k].dtype))
+    return state.replace(
+        data=new_data,
+        ptr=(state.ptr + t) % state.slots,
+        total_writes=state.total_writes + t,
+    )
+
+
+def replay_sample(
+    state: ReplayState,
+    rng: jax.Array,
+    batch_size: int,
+    fields: tuple[str, ...] = ("obs", "action", "reward", "next_obs", "done"),
+) -> dict[str, jax.Array]:
+    """Uniform sample of batch_size transitions (simple_replay.py:85-104).
+
+    Samples (slot, env) pairs over the valid region. On a sharded buffer
+    this is called per-shard with batch_size // num_shards — statistically
+    identical to a global uniform sample because env shards are iid.
+    """
+    num_envs = state.data["obs"].shape[1]
+    k_slot, k_env = jax.random.split(rng)
+    lo = state.valid_start
+    span = jnp.maximum(state.filled - lo, 1)
+    slot_idx = lo + (jax.random.randint(k_slot, (batch_size,), 0, 1 << 30) % span)
+    env_idx = jax.random.randint(k_env, (batch_size,), 0, num_envs)
+    out = {}
+    for k in fields:
+        v = state.data[k][slot_idx, env_idx]
+        out[k] = v.astype(jnp.float32)
+    return out

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Unified training entry point.
+
+Covers both reference entry points with one CLI (reference
+scripts/train_pql.py for the async PQL system; scripts/train_baselines.py
+for the synchronous agents):
+
+    python scripts/train.py algo=pql task=Cartpole num_envs=4096
+    python scripts/train.py algo=ddpg task=Pendulum num_envs=1024 max_time=600
+    python scripts/train.py algo=pql_d task=Cartpole   # distributional PQL-D
+
+Overrides use the same hydra-style grammar as the reference
+(``algo.batch_size=8192 algo.noise.std_max=0.5``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from pql_tpu.cfg import parse_cli, to_dict
+from pql_tpu.envs import make_eval_env
+from pql_tpu.utils.checkpoint import save_model_snapshot
+from pql_tpu.utils.evaluator import Evaluator
+from pql_tpu.utils.logging import RunLogger
+
+
+def train_pql(cfg, logger: RunLogger) -> None:
+    """Fused SPMD PQL loop (reference scripts/train_pql.py:28-187, minus
+    Ray/process plumbing — the trio is one jitted step)."""
+    from pql_tpu.algos.pql import PQL
+
+    agent = PQL(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    k_init, k_eval = jax.random.split(rng)
+    state = agent.init(k_init)
+
+    evaluator = Evaluator(cfg, make_eval_env(cfg), agent.eval_actor_apply)
+    state, _ = agent.warmup(state)
+
+    best_ret = float("-inf")
+    it = 0
+    last_log = time.time()
+    while True:
+        state, metrics = agent.train_iter(state)
+        it += 1
+        if it % max(cfg.algo.log_freq, 1) == 0:
+            host = {k: float(v) for k, v in metrics.items()}
+            host["speed/env_steps"] = int(state.env_steps)
+            host["speed/critic_updates"] = int(state.critic_update_count)
+            host["speed/actor_updates"] = int(state.actor_update_count)
+            now = time.time()
+            host["speed/env_steps_per_s"] = (
+                cfg.algo.horizon_len * cfg.num_envs * cfg.algo.log_freq / (now - last_log)
+            )
+            last_log = now
+            logger.log(host, step=int(state.env_steps))
+        if it % max(cfg.algo.eval_freq, 1) == 0:
+            k_eval, k = jax.random.split(k_eval)
+            eval_metrics = evaluator.eval_policy(state.actor_params, state.obs_rms, k)
+            logger.log(eval_metrics, step=int(state.env_steps))
+            if eval_metrics["eval/return"] > best_ret and logger.run_dir:
+                best_ret = eval_metrics["eval/return"]
+                save_model_snapshot(
+                    os.path.join(logger.run_dir, "best_model"),
+                    state.actor_params,
+                    state.critic_params,
+                    state.obs_rms,
+                )
+        if evaluator.check_if_should_stop(int(state.env_steps)):
+            break
+
+
+def train_baseline(cfg, logger: RunLogger) -> None:
+    """Synchronous agent loop (reference scripts/train_baselines.py:20-76)."""
+    from pql_tpu.algos import get_algo
+    from pql_tpu.envs import make_env
+
+    env = make_env(cfg)
+    agent = get_algo(cfg.algo.name)(cfg, env)
+    rng = jax.random.PRNGKey(cfg.seed)
+    k_init, k_eval = jax.random.split(rng)
+    state = agent.init(k_init)
+
+    evaluator = Evaluator(cfg, make_eval_env(cfg), agent.eval_actor_apply)
+    state = agent.explore(state, horizon=cfg.algo.warm_up, random=True)
+
+    best_ret = float("-inf")
+    it = 0
+    last_log = time.time()
+    while True:
+        state = agent.explore(state, horizon=cfg.algo.horizon_len)
+        state, metrics = agent.update(state)
+        it += 1
+        if it % max(cfg.algo.log_freq, 1) == 0:
+            host = {k: float(v) for k, v in metrics.items()}
+            now = time.time()
+            host["speed/env_steps_per_s"] = (
+                cfg.algo.horizon_len * cfg.num_envs * cfg.algo.log_freq / (now - last_log)
+            )
+            last_log = now
+            logger.log(host, step=int(state.env_steps))
+        if it % max(cfg.algo.eval_freq, 1) == 0:
+            k_eval, k = jax.random.split(k_eval)
+            eval_metrics = evaluator.eval_policy(state.actor_params, state.obs_rms, k)
+            logger.log(eval_metrics, step=int(state.env_steps))
+            if eval_metrics["eval/return"] > best_ret and logger.run_dir:
+                best_ret = eval_metrics["eval/return"]
+                save_model_snapshot(
+                    os.path.join(logger.run_dir, "best_model"),
+                    state.actor_params,
+                    state.critic_params,
+                    state.obs_rms,
+                )
+        if evaluator.check_if_should_stop(int(state.env_steps)):
+            break
+
+
+def main(argv: list[str]) -> None:
+    cfg = parse_cli(argv)
+    logger = RunLogger(cfg, to_dict(cfg))
+    try:
+        if cfg.algo.name == "PQL":
+            train_pql(cfg, logger)
+        else:
+            train_baseline(cfg, logger)
+    finally:
+        logger.close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
