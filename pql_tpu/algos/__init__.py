@@ -3,11 +3,17 @@ Agent classes by AST scan; here it's an explicit map keyed by
 cfg.algo.name)."""
 
 from pql_tpu.algos.ddpg import DDPG, OffPolicyState
+from pql_tpu.algos.sac import SAC, SACState
+from pql_tpu.algos.crossq import CrossQ, CrossQState
+from pql_tpu.algos.ppo import PPO, PPOState
 from pql_tpu.algos.pql import PQL, PQLState
 
 ALGO_REGISTRY = {
     "PQL": PQL,
     "DDPG": DDPG,
+    "SAC": SAC,
+    "CrossQ": CrossQ,
+    "PPO": PPO,
 }
 
 
@@ -21,4 +27,18 @@ def get_algo(name: str):
     return ALGO_REGISTRY[name]
 
 
-__all__ = ["ALGO_REGISTRY", "register_algo", "get_algo", "DDPG", "PQL", "OffPolicyState", "PQLState"]
+__all__ = [
+    "ALGO_REGISTRY",
+    "register_algo",
+    "get_algo",
+    "DDPG",
+    "SAC",
+    "CrossQ",
+    "PPO",
+    "PQL",
+    "OffPolicyState",
+    "SACState",
+    "CrossQState",
+    "PPOState",
+    "PQLState",
+]

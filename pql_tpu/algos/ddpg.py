@@ -224,6 +224,18 @@ class DDPG:
         }
         return state.replace(rng=rng), metrics
 
+    # ------------------------------------------------------- composed API
+
+    def train_iter(self, state):
+        """One explore(horizon) + update_times updates — the inner loop of
+        reference train_baselines.py:53-61."""
+        state = self.explore(state, horizon=self.cfg.algo.horizon_len)
+        return self.update(state)
+
+    def warmup(self, state):
+        """Random warm-up exploration (train_baselines.py:49-51)."""
+        return self.explore(state, horizon=self.cfg.algo.warm_up, random=True), {}
+
     # ---------------------------------------------------------- eval hooks
 
     def eval_actor_apply(self, params, obs_n):

@@ -8,12 +8,14 @@ create_task_env for the train and eval env instances.
 
 from pql_tpu.envs.base import Task, VecEnv, VecEnvState, handle_timeout
 from pql_tpu.envs.classic import Cartpole, Pendulum, PointMass, Reacher
+from pql_tpu.envs.rigid import Ant
 
 TASK_REGISTRY = {
     "Cartpole": Cartpole,
     "Pendulum": Pendulum,
     "PointMass": PointMass,
     "Reacher": Reacher,
+    "Ant": Ant,
 }
 
 
@@ -52,4 +54,5 @@ __all__ = [
     "Pendulum",
     "PointMass",
     "Reacher",
+    "Ant",
 ]

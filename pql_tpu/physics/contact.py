@@ -1,0 +1,111 @@
+"""Penalty-based contacts: sphere–ground and sphere–box.
+
+Compliant (spring–damper) contact with smooth Coulomb friction — the
+standard penalty formulation used by differentiable JAX physics engines.
+All geoms are spheres attached to bodies (model.geoms); the ground is the
+plane z = 0; boxes are contact *targets* for manipulation tasks (a free
+cube body with a half-extent, tested against every sphere).
+
+Forces are returned as [nb, 6] world-frame spatial forces about the world
+origin ([n; f] with n = p × f), ready for pql_tpu.physics.dynamics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pql_tpu.physics.model import RigidBodyModel
+
+
+def _point_state(R_wb, p_wb, v_body, body, offset):
+    """World position and velocity of a body-frame point."""
+    R = R_wb[body]
+    pos = p_wb[body] + R @ offset
+    omega, vlin = v_body[body][:3], v_body[body][3:]
+    vel = R @ (vlin + jnp.cross(omega, offset))
+    return pos, vel
+
+
+def _contact_force(depth, normal, vel, kp, kd, mu):
+    """Spring-damper normal force + smooth Coulomb friction.
+
+    depth > 0 means penetration. Returns world-frame force (3,).
+    """
+    active = depth > 0.0
+    vn = jnp.dot(vel, normal)
+    fn_mag = jnp.maximum(kp * depth - kd * vn, 0.0) * active
+    vt = vel - vn * normal
+    vt_norm = jnp.linalg.norm(vt) + 1e-6
+    ft = -jnp.minimum(mu * fn_mag, 2.0 * kd * vt_norm) * vt / vt_norm
+    return fn_mag * normal + ft
+
+
+def ground_contacts(model: RigidBodyModel, R_wb, p_wb, v_body):
+    """Sphere-vs-plane(z=0) penalty forces. Returns ([nb,6] f_ext_world,
+    per-geom contact force magnitudes [n_geoms])."""
+    f_ext = jnp.zeros((model.nb, 6))
+    mags = []
+    for g in model.geoms:
+        pos, vel = _point_state(R_wb, p_wb, v_body, g.body, jnp.asarray(g.offset))
+        depth = g.radius - pos[2]
+        force = _contact_force(
+            depth,
+            jnp.array([0.0, 0.0, 1.0]),
+            vel,
+            model.contact_kp,
+            model.contact_kd,
+            model.friction_mu,
+        )
+        torque = jnp.cross(pos, force)
+        f_ext = f_ext.at[g.body].add(jnp.concatenate([torque, force]))
+        mags.append(jnp.linalg.norm(force))
+    return f_ext, jnp.stack(mags) if mags else jnp.zeros(0)
+
+
+def sphere_box_contacts(
+    model: RigidBodyModel,
+    R_wb,
+    p_wb,
+    v_body,
+    box_body: int,
+    half_extents: jax.Array,
+):
+    """Every model sphere vs an oriented box attached to `box_body` (at its
+    body origin). Equal-and-opposite forces applied to both bodies —
+    momentum-conserving. Returns ([nb,6] f_ext_world, [n_geoms] magnitudes)."""
+    f_ext = jnp.zeros((model.nb, 6))
+    Rb, pb = R_wb[box_body], p_wb[box_body]
+    mags = []
+    for g in model.geoms:
+        if g.body == box_body:
+            mags.append(jnp.zeros(()))
+            continue
+        pos, vel = _point_state(R_wb, p_wb, v_body, g.body, jnp.asarray(g.offset))
+        # sphere center in box frame
+        local = Rb.T @ (pos - pb)
+        closest = jnp.clip(local, -half_extents, half_extents)
+        delta = local - closest
+        dist = jnp.linalg.norm(delta) + 1e-9
+        inside = jnp.all(jnp.abs(local) < half_extents)
+        # outside: normal from closest point to center; inside: push out along
+        # the shallowest face (approximate: use largest |local|/extent axis)
+        n_out = delta / dist
+        ax = jnp.argmax(jnp.abs(local) / half_extents)
+        n_in = jnp.sign(local[ax]) * jax.nn.one_hot(ax, 3)
+        normal_local = jnp.where(inside, n_in, n_out)
+        depth = jnp.where(inside, g.radius + jnp.min(half_extents - jnp.abs(closest)), g.radius - dist)
+        normal = Rb @ normal_local
+
+        box_point_vel = Rb @ (
+            v_body[box_body][3:] + jnp.cross(v_body[box_body][:3], Rb.T @ (pos - pb))
+        )
+        rel_vel = vel - box_point_vel
+        force = _contact_force(
+            depth, normal, rel_vel, model.contact_kp, model.contact_kd, model.friction_mu
+        )
+        torque = jnp.cross(pos, force)
+        f_ext = f_ext.at[g.body].add(jnp.concatenate([torque, force]))
+        f_ext = f_ext.at[box_body].add(jnp.concatenate([-torque, -force]))
+        mags.append(jnp.linalg.norm(force))
+    return f_ext, jnp.stack(mags) if mags else jnp.zeros(0)

@@ -88,14 +88,14 @@ def train_baseline(cfg, logger: RunLogger) -> None:
     state = agent.init(k_init)
 
     evaluator = Evaluator(cfg, make_eval_env(cfg), agent.eval_actor_apply)
-    state = agent.explore(state, horizon=cfg.algo.warm_up, random=True)
+    if hasattr(agent, "warmup"):
+        state, _ = agent.warmup(state)
 
     best_ret = float("-inf")
     it = 0
     last_log = time.time()
     while True:
-        state = agent.explore(state, horizon=cfg.algo.horizon_len)
-        state, metrics = agent.update(state)
+        state, metrics = agent.train_iter(state)
         it += 1
         if it % max(cfg.algo.log_freq, 1) == 0:
             host = {k: float(v) for k, v in metrics.items()}

@@ -1,0 +1,272 @@
+"""Algorithm mechanics tests (fast — no long training runs).
+
+Covers: PQL fused step on the 8-device CPU mesh (counters, ratios,
+determinism, replay plumbing), DDPG/SAC/CrossQ update mechanics, PPO GAE
+golden values vs a naive python loop implementing the reference semantics
+(pql/algo/ppo.py:75-116).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pql_tpu.cfg import make_config
+
+
+def tiny_cfg(algo, **kw):
+    base = dict(
+        task="PointMass",
+        num_envs=16,
+        algo__batch_size=64,
+        algo__memory_size=4096,
+        algo__warm_up=4,
+        algo__horizon_len=1,
+        eval_num_envs=8,
+        logging__mode="off",
+    )
+    base.update(kw)
+    return make_config(algo, **base)
+
+
+class TestPQLFused:
+    @pytest.fixture(scope="class")
+    def agent_factory(self):
+        from pql_tpu.algos.pql import PQL
+        from pql_tpu.parallel import make_mesh
+
+        cfg = tiny_cfg("pql")
+        agent = PQL(cfg, mesh=make_mesh(8))
+        return agent
+
+    @pytest.fixture
+    def agent_state(self, agent_factory):
+        # fresh state per test: train_iter/warmup donate their input buffers
+        return agent_factory, agent_factory.init(jax.random.PRNGKey(0))
+
+    def test_warmup_fills_replay(self, agent_state):
+        agent, state = agent_state
+        state, _ = agent.warmup(state)
+        assert int(state.replay.total_writes) == agent.cfg.algo.warm_up
+        assert int(state.env_steps) == agent.cfg.algo.warm_up * agent.cfg.num_envs
+        assert int(state.critic_update_count) == 0
+
+    def test_update_ratios_exact(self, agent_state):
+        """The async rate controller's targets become exact integers:
+        critic:sim = 8, critic:actor = 2 (pql_algo.yaml:17-18)."""
+        agent, state = agent_state
+        state, _ = agent.warmup(state)
+        for _ in range(3):
+            state, metrics = agent.train_iter(state)
+        assert int(state.critic_update_count) == 3 * 8
+        assert int(state.actor_update_count) == 3 * 4
+        for v in metrics.values():
+            assert bool(jnp.isfinite(v))
+
+    def test_deterministic_given_seed(self, agent_state):
+        agent, _ = agent_state
+
+        def run():
+            s = agent.init(jax.random.PRNGKey(7))
+            s, _ = agent.warmup(s)
+            s, m = agent.train_iter(s)
+            return s
+
+        s1, s2 = run(), run()
+        a1 = jax.tree_util.tree_leaves(s1.actor_params)
+        a2 = jax.tree_util.tree_leaves(s2.actor_params)
+        for x, y in zip(a1, a2):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_params_replicated_across_shards(self, agent_state):
+        """After sharded updates every device must hold identical params
+        (grads are pmean'd)."""
+        agent, state = agent_state
+        state, _ = agent.warmup(state)
+        state, _ = agent.train_iter(state)
+        leaf = jax.tree_util.tree_leaves(state.actor_params)[0]
+        shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for s in shards[1:]:
+            np.testing.assert_array_equal(shards[0], s)
+
+    def test_mixed_noise_spreads_across_global_env_axis(self, agent_state):
+        """Shard 0 envs get std≈0.05 noise, last shard ≈0.8: actions of the
+        last envs should be visibly noisier after one policy rollout."""
+        agent, state = agent_state
+        state, _ = agent.warmup(state)
+        for _ in range(3):
+            state, _ = agent.train_iter(state)
+        # replay now contains policy actions; actions from high-index envs
+        # should have higher dispersion around tanh outputs
+        acts = np.asarray(state.replay.data["action"][4:7])  # post-warmup slots
+        lo = acts[:, :4].std()
+        hi = acts[:, -4:].std()
+        assert hi > lo
+
+    def test_distl_variant_runs(self):
+        from pql_tpu.algos.pql import PQL
+        from pql_tpu.parallel import make_mesh
+
+        cfg = tiny_cfg("pql_d")
+        agent = PQL(cfg, mesh=make_mesh(4))
+        state = agent.init(jax.random.PRNGKey(0))
+        state, _ = agent.warmup(state)
+        state, metrics = agent.train_iter(state)
+        assert bool(jnp.isfinite(metrics["train/critic_loss"]))
+        assert float(metrics["train/critic_loss"]) > 0  # BCE is positive
+
+
+class TestOffPolicyAgents:
+    def _run_two_iters(self, algo_name):
+        from pql_tpu.algos import get_algo
+        from pql_tpu.envs import make_env
+
+        cfg = tiny_cfg(algo_name, algo__update_times=2)
+        env = make_env(cfg)
+        agent = get_algo(cfg.algo.name)(cfg, env)
+        state = agent.init(jax.random.PRNGKey(0))
+        state, _ = agent.warmup(state)
+        p_before = jax.tree_util.tree_leaves(state.actor_params)[0]
+        state, metrics = agent.train_iter(state)
+        p_after = jax.tree_util.tree_leaves(state.actor_params)[0]
+        assert not np.array_equal(np.asarray(p_before), np.asarray(p_after))
+        for v in metrics.values():
+            assert bool(jnp.isfinite(v))
+        return state
+
+    def test_ddpg(self):
+        state = self._run_two_iters("ddpg")
+        assert int(state.update_count) == 2
+
+    def test_sac_alpha_moves(self):
+        from pql_tpu.algos import get_algo
+        from pql_tpu.envs import make_env
+
+        cfg = tiny_cfg("sac", algo__update_times=2)
+        env = make_env(cfg)
+        agent = get_algo("SAC")(cfg, env)
+        state = agent.init(jax.random.PRNGKey(0))
+        state, _ = agent.warmup(state)
+        state, _ = agent.train_iter(state)
+        assert float(state.log_alpha[0]) != 0.0
+
+    def test_crossq(self):
+        from pql_tpu.algos import get_algo
+        from pql_tpu.envs import make_env
+
+        cfg = tiny_cfg("crossq", algo__update_times=2)
+        env = make_env(cfg)
+        agent = get_algo("CrossQ")(cfg, env)
+        state = agent.init(jax.random.PRNGKey(0))
+        state, _ = agent.warmup(state)
+        bs_before = jax.tree_util.tree_leaves(state.batch_stats)[0]
+        state, metrics = agent.train_iter(state)
+        bs_after = jax.tree_util.tree_leaves(state.batch_stats)[0]
+        # BN running stats must move (train-mode forward)
+        assert not np.array_equal(np.asarray(bs_before), np.asarray(bs_after))
+        assert bool(jnp.isfinite(metrics["train/critic_loss"]))
+
+
+def _naive_gae(rewards, values, dones, truncated, next_value, next_done, gamma, lam):
+    """Python transcription of the reference GAE loop (ppo.py:88-107):
+    dones[t] is the done flag that produced obs[t]."""
+    T = rewards.shape[0]
+    adv = np.zeros_like(rewards)
+    lastgaelam = 0.0
+    for t in reversed(range(T)):
+        if t == T - 1:
+            nnt = 1.0 - next_done
+            nv = next_value
+        else:
+            nnt = 1.0 - dones[t + 1]
+            nv = values[t + 1]
+        nnt2 = np.logical_xor(nnt > 0.5, truncated[t] > 0.5).astype(np.float32)
+        delta = rewards[t] + gamma * nv * nnt2 - values[t]
+        lastgaelam = delta + gamma * lam * nnt * lastgaelam
+        adv[t] = lastgaelam
+    return adv
+
+
+class TestPPO:
+    def test_gae_matches_naive_reference(self):
+        from pql_tpu.algos.ppo import PPO
+        from pql_tpu.envs import make_env
+
+        cfg = tiny_cfg("ppo", algo__horizon_len=8, algo__batch_size=128, algo__obs_norm=False)
+        env = make_env(cfg)
+        agent = PPO(cfg, env)
+        state = agent.init(jax.random.PRNGKey(0))
+
+        T, E = 8, 16
+        rs = np.random.RandomState(3)
+        traj = {
+            "obs": jnp.asarray(rs.randn(T, E, env.obs_dim), jnp.float32),
+            "dones": jnp.asarray((rs.rand(T, E) < 0.2).astype(np.float32)),
+            "action": jnp.asarray(rs.randn(T, E, env.action_dim), jnp.float32),
+            "logp": jnp.asarray(rs.randn(T, E), jnp.float32),
+            "reward": jnp.asarray(rs.randn(T, E), jnp.float32),
+            "value": jnp.asarray(rs.randn(T, E), jnp.float32),
+            "truncated": jnp.asarray((rs.rand(T, E) < 0.1).astype(np.float32)),
+        }
+        final_dones = (rs.rand(E) < 0.2).astype(np.float32)
+        state = state.replace(dones=jnp.asarray(final_dones))
+        state2, (b_obs, b_act, b_logp, b_adv, b_ret, b_val) = agent._compute_adv(state, traj)
+
+        obs_n = np.asarray(state.obs)
+        next_value = np.asarray(agent.critic.apply(state.critic_params, state.obs)[..., 0])
+        adv_ref = _naive_gae(
+            np.asarray(traj["reward"]),
+            np.asarray(traj["value"]),
+            np.asarray(traj["dones"]),
+            np.asarray(traj["truncated"]),
+            next_value,
+            final_dones,
+            cfg.algo.gamma,
+            cfg.algo.lambda_gae_adv,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_adv).reshape(T, E), adv_ref, rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_ret).reshape(T, E),
+            adv_ref + np.asarray(traj["value"]),
+            rtol=1e-4,
+            atol=1e-5,
+        )
+
+    def test_train_iter_runs(self):
+        from pql_tpu.algos.ppo import PPO
+        from pql_tpu.envs import make_env
+
+        cfg = tiny_cfg("ppo", algo__horizon_len=4, algo__batch_size=32, algo__update_times=2)
+        env = make_env(cfg)
+        agent = PPO(cfg, env)
+        state = agent.init(jax.random.PRNGKey(0))
+        state, metrics = agent.train_iter(state)
+        assert int(state.update_count) == 2 * (4 * 16 // 32)
+        for v in metrics.values():
+            assert bool(jnp.isfinite(v))
+
+    def test_batch_divisibility_enforced(self):
+        from pql_tpu.algos.ppo import PPO
+        from pql_tpu.envs import make_env
+
+        cfg = tiny_cfg("ppo", algo__horizon_len=3, algo__batch_size=32)
+        with pytest.raises(ValueError):
+            PPO(cfg, make_env(cfg))
+
+
+class TestEvaluator:
+    def test_eval_rollout(self):
+        from pql_tpu.algos.ddpg import DDPG
+        from pql_tpu.envs import make_env, make_eval_env
+        from pql_tpu.utils.evaluator import Evaluator
+
+        cfg = tiny_cfg("ddpg")
+        env = make_env(cfg)
+        agent = DDPG(cfg, env)
+        state = agent.init(jax.random.PRNGKey(0))
+        ev = Evaluator(cfg, make_eval_env(cfg), agent.eval_actor_apply)
+        metrics = ev.eval_policy(state.actor_params, state.obs_rms, jax.random.PRNGKey(1))
+        assert "eval/return" in metrics and np.isfinite(metrics["eval/return"])
+        assert metrics["eval/episode_length"] > 0
