@@ -9,6 +9,7 @@ create_task_env for the train and eval env instances.
 from pql_tpu.envs.base import Task, VecEnv, VecEnvState, handle_timeout
 from pql_tpu.envs.classic import Cartpole, Pendulum, PointMass, Reacher
 from pql_tpu.envs.rigid import Ant
+from pql_tpu.envs.hand import AllegroHand
 
 TASK_REGISTRY = {
     "Cartpole": Cartpole,
@@ -16,6 +17,7 @@ TASK_REGISTRY = {
     "PointMass": PointMass,
     "Reacher": Reacher,
     "Ant": Ant,
+    "AllegroHand": AllegroHand,
 }
 
 
@@ -55,4 +57,5 @@ __all__ = [
     "PointMass",
     "Reacher",
     "Ant",
+    "AllegroHand",
 ]

@@ -103,10 +103,14 @@ class VecEnv:
 
         info = dict(info)
         info["truncated"] = truncated
+        # numerical-safety: a physics blow-up in one env must not leak NaNs
+        # into the replay/normalizer of all envs — the env terminates (task
+        # dynamics flag non-finite states as done) and its last reward/obs
+        # are sanitized here
         return (
             VecEnvState(state=next_state, time=time),
-            obs,
-            reward.astype(jnp.float32),
+            jnp.nan_to_num(obs),
+            jnp.nan_to_num(reward.astype(jnp.float32)),
             done.astype(jnp.float32),
             info,
         )

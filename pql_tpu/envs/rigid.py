@@ -102,6 +102,8 @@ def ant_model(dt: float = 1.0 / 240.0) -> RigidBodyModel:
         contact_kp=2.0e4,
         contact_kd=120.0,
         friction_mu=1.0,
+        contact_force_cap=2000.0,
+        max_dof_speed=60.0,
     )
 
 
@@ -176,8 +178,6 @@ class Ant:
             return (q, qd), None
 
         (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=self.substeps)
-        # numerical safety: clamp runaway velocities instead of NaN-ing
-        qd = jnp.clip(qd, -100.0, 100.0)
 
         dt_ctrl = m.dt * self.substeps
         forward_vel = (q[0] - x_before) / dt_ctrl

@@ -27,14 +27,16 @@ def _point_state(R_wb, p_wb, v_body, body, offset):
     return pos, vel
 
 
-def _contact_force(depth, normal, vel, kp, kd, mu):
+def _contact_force(depth, normal, vel, kp, kd, mu, cap=1.0e4):
     """Spring-damper normal force + smooth Coulomb friction.
 
-    depth > 0 means penetration. Returns world-frame force (3,).
+    depth > 0 means penetration. Returns world-frame force (3,); the
+    normal force is capped at `cap` so deep penetrations from fast
+    impacts cannot inject unbounded energy (numerical-safety rail).
     """
     active = depth > 0.0
     vn = jnp.dot(vel, normal)
-    fn_mag = jnp.maximum(kp * depth - kd * vn, 0.0) * active
+    fn_mag = jnp.minimum(jnp.maximum(kp * depth - kd * vn, 0.0), cap) * active
     vt = vel - vn * normal
     vt_norm = jnp.linalg.norm(vt) + 1e-6
     ft = -jnp.minimum(mu * fn_mag, 2.0 * kd * vt_norm) * vt / vt_norm
@@ -56,11 +58,48 @@ def ground_contacts(model: RigidBodyModel, R_wb, p_wb, v_body):
             model.contact_kp,
             model.contact_kd,
             model.friction_mu,
+            model.contact_force_cap,
         )
         torque = jnp.cross(pos, force)
         f_ext = f_ext.at[g.body].add(jnp.concatenate([torque, force]))
         mags.append(jnp.linalg.norm(force))
     return f_ext, jnp.stack(mags) if mags else jnp.zeros(0)
+
+
+def box_ground_contacts(
+    model: RigidBodyModel,
+    R_wb,
+    p_wb,
+    v_body,
+    box_body: int,
+    half_extents: jax.Array,
+):
+    """Oriented box (attached at `box_body` origin) vs the ground plane:
+    its 8 corners act as point contacts. Returns [nb,6] world forces."""
+    f_ext = jnp.zeros((model.nb, 6))
+    Rb, pb = R_wb[box_body], p_wb[box_body]
+    hx, hy, hz = half_extents[0], half_extents[1], half_extents[2]
+    corners = jnp.array(
+        [[sx * hx, sy * hy, sz * hz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)]
+    )
+    omega, vlin = v_body[box_body][:3], v_body[box_body][3:]
+    for c in range(8):
+        local = corners[c]
+        pos = pb + Rb @ local
+        vel = Rb @ (vlin + jnp.cross(omega, local))
+        depth = -pos[2]
+        force = _contact_force(
+            depth,
+            jnp.array([0.0, 0.0, 1.0]),
+            vel,
+            model.contact_kp,
+            model.contact_kd,
+            model.friction_mu,
+            model.contact_force_cap,
+        )
+        torque = jnp.cross(pos, force)
+        f_ext = f_ext.at[box_body].add(jnp.concatenate([torque, force]))
+    return f_ext
 
 
 def sphere_box_contacts(
@@ -102,7 +141,8 @@ def sphere_box_contacts(
         )
         rel_vel = vel - box_point_vel
         force = _contact_force(
-            depth, normal, rel_vel, model.contact_kp, model.contact_kd, model.friction_mu
+            depth, normal, rel_vel, model.contact_kp, model.contact_kd,
+            model.friction_mu, model.contact_force_cap,
         )
         torque = jnp.cross(pos, force)
         f_ext = f_ext.at[g.body].add(jnp.concatenate([torque, force]))

@@ -174,7 +174,7 @@ def fd_step(model: RigidBodyModel, q, qd, action, f_ext_world):
     tau = actuation(model, action) + _limit_torque(model, q)
     qdd = jnp.linalg.solve(M, tau - C)
 
-    qd_new = qd + model.dt * qdd
+    qd_new = jnp.clip(qd + model.dt * qdd, -model.max_dof_speed, model.max_dof_speed)
     q_new = q
     for i in range(model.nb):
         qs, vs = model.q_start[i], model.v_start[i]

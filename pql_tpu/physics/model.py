@@ -57,6 +57,10 @@ class RigidBodyModel:
     contact_kp: float = 2.0e4
     contact_kd: float = 100.0
     friction_mu: float = 1.0
+    # numerical-safety rails for the penalty formulation: cap any single
+    # contact's normal force and every dof's speed (applied each substep)
+    contact_force_cap: float = 1.0e4
+    max_dof_speed: float = 100.0
 
     # -------- derived layout (computed in __post_init__-style helpers) ----
 
