@@ -7,6 +7,9 @@ from pql_tpu.algos.sac import SAC, SACState
 from pql_tpu.algos.crossq import CrossQ, CrossQState
 from pql_tpu.algos.ppo import PPO, PPOState
 from pql_tpu.algos.pql import PQL, PQLState
+from pql_tpu.algos.ippo import IPPO, IPPOState
+from pql_tpu.algos.mappo import MAPPO, MAPPOState
+from pql_tpu.algos.iddpg import IDDPG, IDDPGState
 
 ALGO_REGISTRY = {
     "PQL": PQL,
@@ -14,6 +17,9 @@ ALGO_REGISTRY = {
     "SAC": SAC,
     "CrossQ": CrossQ,
     "PPO": PPO,
+    "IPPO": IPPO,
+    "MAPPO": MAPPO,
+    "IDDPG": IDDPG,
 }
 
 
@@ -36,9 +42,15 @@ __all__ = [
     "CrossQ",
     "PPO",
     "PQL",
+    "IPPO",
+    "MAPPO",
+    "IDDPG",
     "OffPolicyState",
     "SACState",
     "CrossQState",
     "PPOState",
     "PQLState",
+    "IPPOState",
+    "MAPPOState",
+    "IDDPGState",
 ]

@@ -102,6 +102,8 @@ class AlgoConfig:
     lambda_gae_adv: float = 0.95
     lambda_entropy: float = 0.0
     ratio_clip: float = 0.2
+    # --- multi-agent (reference cfg.task.multi.same_policy, ippo.py:35-39) ---
+    same_policy: bool = False
     # --- TPU-specific ---
     # Compute dtype for network forward passes ('float32' | 'bfloat16').
     # Params are always stored in float32.
@@ -162,6 +164,7 @@ def _algo_presets() -> dict[str, dict[str, Any]]:
             eval_freq=20,
             update_times=4,
         ),
+        "iddpg": dict(name="IDDPG", eval_freq=100, update_times=8),
     }
 
 

@@ -10,6 +10,7 @@ from pql_tpu.envs.base import Task, VecEnv, VecEnvState, handle_timeout
 from pql_tpu.envs.classic import Cartpole, Pendulum, PointMass, Reacher
 from pql_tpu.envs.rigid import Ant
 from pql_tpu.envs.hand import AllegroHand
+from pql_tpu.envs.bimanual import BimanualReacher, BimanualReacherSym
 
 TASK_REGISTRY = {
     "Cartpole": Cartpole,
@@ -18,6 +19,8 @@ TASK_REGISTRY = {
     "Reacher": Reacher,
     "Ant": Ant,
     "AllegroHand": AllegroHand,
+    "BimanualReacher": BimanualReacher,
+    "BimanualReacherSym": BimanualReacherSym,
 }
 
 

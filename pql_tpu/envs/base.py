@@ -64,6 +64,16 @@ class VecEnv:
         self.obs_dim = task.obs_dim
         self.action_dim = task.action_dim
         self.max_episode_length = task.max_episode_length
+        # two-agent tasks carry a MultiAgentSpec (reference cfg.task.multi)
+        self.multi = getattr(task, "multi", None)
+
+    def symmetry_tracker(self, s: "VecEnvState") -> jax.Array:
+        """Per-env mirrored-episode flags (reference bimanual envs expose
+        env.unwrapped.symmetry_tracker, consumed at pql/algo/ippo.py:81);
+        zeros for tasks without episode mirroring."""
+        if hasattr(self.task, "get_symmetry"):
+            return jax.vmap(self.task.get_symmetry)(s.state)
+        return jnp.zeros(self.num_envs, jnp.float32)
 
     def reset(self, rng: jax.Array):
         """Fresh episodes for every env (ResetEnvWrapper.reset force-resets

@@ -63,16 +63,19 @@ def create_replay(
     extra_fields: dict[str, int] | None = None,
     obs_dtype=jnp.float32,
     valid_start: int = 0,
+    reward_dim: int = 1,
 ) -> ReplayState:
     """Preallocate ring storage (reference simple_replay.py:4-18).
 
-    extra_fields maps name → feature dim for research variants (e.g. the
-    IDDPG second reward channel ``reward_left``, simple_replay.py:36-38).
+    reward_dim=2 is the IDDPG layout: channel 0 = right-hand reward,
+    channel 1 = left (the reference stores a separate ``reward_left``
+    tensor, simple_replay.py:36-38). extra_fields maps name → feature dim
+    for further research variants.
     """
     data = {
         "obs": jnp.zeros((slots, num_envs, obs_dim), obs_dtype),
         "action": jnp.zeros((slots, num_envs, action_dim), jnp.float32),
-        "reward": jnp.zeros((slots, num_envs, 1), jnp.float32),
+        "reward": jnp.zeros((slots, num_envs, reward_dim), jnp.float32),
         "next_obs": jnp.zeros((slots, num_envs, obs_dim), obs_dtype),
         "done": jnp.zeros((slots, num_envs, 1), jnp.float32),
     }

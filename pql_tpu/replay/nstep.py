@@ -39,13 +39,22 @@ class NStepState:
 
 
 def create_nstep(
-    num_envs: int, obs_dim: int, action_dim: int, nstep: int = 3, gamma: float = 0.99
+    num_envs: int,
+    obs_dim: int,
+    action_dim: int,
+    nstep: int = 3,
+    gamma: float = 0.99,
+    reward_dim: int = 1,
 ) -> NStepState:
+    """reward_dim > 1 carries extra per-agent channels through the n-step
+    reduction unchanged in semantics (the reference threads a separate
+    ``reward_left`` tensor through the same kernel, nstep_replay.py:25-27,
+    41-42, 57-63)."""
     n = nstep
     return NStepState(
         obs=jnp.zeros((n, num_envs, obs_dim), jnp.float32),
         action=jnp.zeros((n, num_envs, action_dim), jnp.float32),
-        reward=jnp.zeros((n, num_envs, 1), jnp.float32),
+        reward=jnp.zeros((n, num_envs, reward_dim), jnp.float32),
         next_obs=jnp.zeros((n, num_envs, obs_dim), jnp.float32),
         done=jnp.zeros((n, num_envs, 1), jnp.float32),
         count=jnp.zeros((), jnp.int32),
@@ -67,10 +76,10 @@ def nstep_return(state: NStepState):
     first_done = jnp.argmax(dones, axis=0)  # [E]; 0 when none, gated below
     k = jnp.where(any_done, first_done, n - 1)  # [E]
 
-    steps = jnp.arange(n)[:, None]  # [n, 1]
-    mask = (steps <= k[None, :]).astype(state.reward.dtype)  # [n, E]
-    gammas = (state.gamma ** jnp.arange(n, dtype=state.reward.dtype))[:, None]  # [n,1]
-    reward = jnp.sum(state.reward[..., 0] * gammas * mask, axis=0)[..., None]  # [E,1]
+    steps = jnp.arange(n)[:, None, None]  # [n, 1, 1]
+    mask = (steps <= k[None, :, None]).astype(state.reward.dtype)  # [n, E, 1]
+    gammas = (state.gamma ** jnp.arange(n, dtype=state.reward.dtype))[:, None, None]
+    reward = jnp.sum(state.reward * gammas * mask, axis=0)  # [E, C]
 
     next_obs = jnp.take_along_axis(state.next_obs, k[None, :, None], axis=0)[0]  # [E,d]
     done = jnp.maximum(state.done[-1], any_done[:, None].astype(state.done.dtype))
@@ -85,7 +94,7 @@ def nstep_push(state: NStepState, obs, action, reward, next_obs, done):
     skipped emissions (nstep_replay.py:44-45). For nstep == 1 the push is a
     passthrough (nstep_replay.py:66-67).
     """
-    reward = reward.reshape(reward.shape[0], 1)
+    reward = reward.reshape(reward.shape[0], -1)
     done = done.reshape(done.shape[0], 1).astype(jnp.float32)
     if state.nstep == 1:
         out = dict(obs=obs, action=action, reward=reward, next_obs=next_obs, done=done)

@@ -76,6 +76,18 @@ def train_pql(cfg, logger: RunLogger) -> None:
             break
 
 
+def _actor_params_of(state):
+    """Multi-agent states carry a params dict; single-agent states carry
+    actor_params."""
+    return state.params if hasattr(state, "params") else state.actor_params
+
+
+def _critic_params_of(state):
+    if hasattr(state, "params"):
+        return {k: v for k, v in state.params.items() if k.startswith("critic")}
+    return state.critic_params
+
+
 def train_baseline(cfg, logger: RunLogger) -> None:
     """Synchronous agent loop (reference scripts/train_baselines.py:20-76)."""
     from pql_tpu.algos import get_algo
@@ -107,14 +119,14 @@ def train_baseline(cfg, logger: RunLogger) -> None:
             logger.log(host, step=int(state.env_steps))
         if it % max(cfg.algo.eval_freq, 1) == 0:
             k_eval, k = jax.random.split(k_eval)
-            eval_metrics = evaluator.eval_policy(state.actor_params, state.obs_rms, k)
+            eval_metrics = evaluator.eval_policy(_actor_params_of(state), state.obs_rms, k)
             logger.log(eval_metrics, step=int(state.env_steps))
             if eval_metrics["eval/return"] > best_ret and logger.run_dir:
                 best_ret = eval_metrics["eval/return"]
                 save_model_snapshot(
                     os.path.join(logger.run_dir, "best_model"),
-                    state.actor_params,
-                    state.critic_params,
+                    _actor_params_of(state),
+                    _critic_params_of(state),
                     state.obs_rms,
                 )
         if evaluator.check_if_should_stop(int(state.env_steps)):
