@@ -10,6 +10,11 @@ from pql_tpu.algos.pql import PQL, PQLState
 from pql_tpu.algos.ippo import IPPO, IPPOState
 from pql_tpu.algos.mappo import MAPPO, MAPPOState
 from pql_tpu.algos.iddpg import IDDPG, IDDPGState
+from pql_tpu.algos.eq import EQ, EQG, EQS, EQSC, EQSCState, EQSdata
+from pql_tpu.algos.eqsd import EQSD, EQSD2
+from pql_tpu.algos.qtot import QTOTV1, QTOTV2
+from pql_tpu.algos.teams import IART, IPPOTeam, IPPOTeam2
+from pql_tpu.algos.ppov import IPPOV, PPOV, PPOVState
 
 ALGO_REGISTRY = {
     "PQL": PQL,
@@ -20,6 +25,20 @@ ALGO_REGISTRY = {
     "IPPO": IPPO,
     "MAPPO": MAPPO,
     "IDDPG": IDDPG,
+    "EQ": EQ,
+    "EQG": EQG,
+    "EQS": EQS,
+    "EQSC": EQSC,
+    "EQSdata": EQSdata,
+    "EQSD": EQSD,
+    "EQSD2": EQSD2,
+    "QTOTV1": QTOTV1,
+    "QTOTV2": QTOTV2,
+    "IART": IART,
+    "IPPOTeam": IPPOTeam,
+    "IPPOTeam2": IPPOTeam2,
+    "PPOV": PPOV,
+    "IPPOV": IPPOV,
 }
 
 

@@ -28,8 +28,6 @@ from flax import struct
 
 from pql_tpu.algos import base, ma_base
 from pql_tpu.envs.base import VecEnv
-from pql_tpu.models import get_model
-from pql_tpu.models.mlp import DiagGaussianMLPPolicy
 from pql_tpu.ops import RunningMeanStd
 from pql_tpu.utils.trackers import EpisodeStats
 
@@ -48,6 +46,8 @@ class IPPOState:
     rng: jax.Array
     env_steps: jax.Array
     update_count: jax.Array
+    # optional third value-rms for the QTOT total-critic stream
+    value_rms_tot: RunningMeanStd | None = None
 
 
 class IPPO:
@@ -63,15 +63,15 @@ class IPPO:
         if self.same_policy and self.ma.obs_dims[0] != self.ma.obs_dims[1]:
             raise ValueError("same_policy requires equal per-hand obs dims")
 
-        act_cls = get_model(cfg.algo.act_class)
-        cri_cls = get_model(cfg.algo.cri_class)
         dtype = base.compute_dtype(cfg)
-        self.actor = act_cls(act_dim=self.ma.action_dim, dtype=dtype)
-        self.actor_left = self.actor if self.same_policy else act_cls(
-            act_dim=self.ma.action_dim, dtype=dtype
+        self.actor = self.ma.make_actor(cfg, dtype, side=0)
+        self.actor_left = (
+            self.actor if self.same_policy else self.ma.make_actor(cfg, dtype, side=1)
         )
-        self.critic = cri_cls(dtype=dtype)
-        self.critic_left = self.critic if self.same_policy else cri_cls(dtype=dtype)
+        self.critic = self.ma.make_critic(cfg, dtype, side=0)
+        self.critic_left = (
+            self.critic if self.same_policy else self.ma.make_critic(cfg, dtype, side=1)
+        )
 
         self.actor_tx = base.build_optimizer(cfg.algo.actor_lr, cfg.algo.max_grad_norm)
         self.critic_tx = base.build_optimizer(cfg.algo.critic_lr, cfg.algo.max_grad_norm)
@@ -139,6 +139,11 @@ class IPPO:
             v = value_rms.unnormalize(v[:, None])[:, 0]
         return v, value_rms
 
+    def _extra_step_fields(self, state, obs_n, rew_r, rew_l) -> dict:
+        """Per-step rollout extension hook (QTOT variants add the total
+        critic's value and the combined reward stream)."""
+        return {}
+
     def _rollout(self, state: IPPOState, rng):
         cfg, env = self.cfg, self.env
 
@@ -174,6 +179,7 @@ class IPPO:
                 val_r=val_r, val_l=val_l,
                 truncated=info["truncated"].astype(jnp.float32),
             )
+            out.update(self._extra_step_fields(state, obs_n, rew_r, rew_l))
             return (env_state, next_obs, done, obs_rms, v_rms, v_rms_l, stats, k), out
 
         carry = (
@@ -310,14 +316,7 @@ class IPPO:
 
         keys = jax.random.split(k_perm, cfg.algo.update_times)
         state, losses = jax.lax.scan(lambda s, k: epoch(s, k), state, keys)
-        metrics = {
-            "train/actor_loss": jnp.mean(losses["actor"]),
-            "train/critic_loss": jnp.mean(losses["critic"]),
-            **state.stats.metrics(),
-        }
-        if not self.same_policy:
-            metrics["train/actor_loss_left"] = jnp.mean(losses["actor_left"])
-            metrics["train/critic_loss_left"] = jnp.mean(losses["critic_left"])
+        metrics = {**ma_base.loss_metrics(losses), **state.stats.metrics()}
         return state, metrics
 
     # ------------------------------------------------------------- eval hook

@@ -22,11 +22,16 @@ import jax
 import jax.numpy as jnp
 
 from pql_tpu.envs.base import VecEnv
-from pql_tpu.utils.symmetry import MultiAgentSpec, SymmetryManager
+from pql_tpu.models import get_model
+from pql_tpu.models.emlp import concat_reps, perm_sign_rep, sign_rep
+from pql_tpu.utils.symmetry import EquivarianceSpec, MultiAgentSpec, SymmetryManager
 
 
 class MultiAgentCtx:
-    """Binds a VecEnv's MultiAgentSpec to a SymmetryManager."""
+    """Binds a VecEnv's MultiAgentSpec to a SymmetryManager and builds
+    per-hand models (the role of the reference ac_base "Equivariant"
+    construction branch, pql/algo/ac_base.py:32-42, and the per-agent
+    model setup in ippo.py:22-33 / eqs.py:22-36)."""
 
     def __init__(self, env: VecEnv, symmetric_envs: bool | None = None):
         spec: MultiAgentSpec | None = env.multi
@@ -43,6 +48,51 @@ class MultiAgentCtx:
         self.obs_dims = spec.single_agent_obs_dim
         self.action_dim = spec.single_agent_action_dim
         self.shared_obs_dim = spec.shared_obs_dim
+        self.eq: EquivarianceSpec | None = getattr(env.task, "equivariance", None)
+
+    # --------------------------------------------------- C2 rep generators
+
+    def _require_eq(self, name: str) -> EquivarianceSpec:
+        if self.eq is None:
+            raise ValueError(
+                f"Model '{name}' is equivariant but task "
+                f"'{type(self.manager).__name__}' provides no EquivarianceSpec"
+            )
+        return self.eq
+
+    def obs_gen(self, side: int):
+        eq = self._require_eq("obs")
+        if eq.obs_perms is not None:
+            return perm_sign_rep(eq.obs_perms[side], eq.obs_signs[side])
+        return sign_rep(eq.obs_signs[side])
+
+    def act_gen(self):
+        eq = self._require_eq("act")
+        if eq.act_perm is not None:
+            return perm_sign_rep(eq.act_perm, eq.act_signs)
+        return sign_rep(eq.act_signs)
+
+    def joint_obs_gen(self):
+        """Rep on the joint obs = right block ⊕ left block (used by central
+        equivariant critics, reference eqsc.py:30 on obs_dim[2])."""
+        return concat_reps(self.obs_gen(0), self.obs_gen(1))
+
+    # ----------------------------------------------------- model builders
+
+    def make_actor(self, cfg, dtype, side: int = 0):
+        cls = get_model(cfg.algo.act_class)
+        if "Equivariant" in cfg.algo.act_class:
+            return cls(gen_in=self.obs_gen(side), gen_out=self.act_gen(), dtype=dtype)
+        return cls(act_dim=self.action_dim, dtype=dtype)
+
+    def make_critic(self, cfg, dtype, side: int = 0, central: bool = False):
+        cls = get_model(cfg.algo.cri_class)
+        if "Equivariant" in cfg.algo.cri_class:
+            gen = self.joint_obs_gen() if central else self.obs_gen(side)
+            if cfg.algo.cri_class == "DoubleQEquivariant":
+                return cls(gen_obs=gen, gen_act=self.act_gen(), dtype=dtype)
+            return cls(gen_in=gen, dtype=dtype)
+        return cls(dtype=dtype)
 
     def split_obs(self, obs, tracker):
         return self.manager.get_multi_agent_obs(obs, tracker)
@@ -126,3 +176,16 @@ def epoch_minibatches(rng, data: tuple, batch_size: int):
 def flat(x: jax.Array) -> jax.Array:
     """[T, B, ...] -> [T*B, ...]."""
     return x.reshape((-1,) + x.shape[2:])
+
+
+def loss_metrics(losses: dict) -> dict:
+    """Map loss-dict keys to the reference's metric names:
+    'actor' → 'train/actor_loss', 'actor_left' → 'train/actor_loss_left',
+    'critic_tot' → 'train/critic_loss_tot' (reference ippo.py:269-277,
+    eqsd.py:305-312)."""
+    out = {}
+    for k, v in losses.items():
+        head, _, tail = k.partition("_")
+        name = f"train/{head}_loss" + (f"_{tail}" if tail else "")
+        out[name] = jnp.mean(v)
+    return out

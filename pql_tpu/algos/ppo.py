@@ -25,7 +25,6 @@ from flax import struct
 
 from pql_tpu.algos import base
 from pql_tpu.envs.base import VecEnv
-from pql_tpu.models.mlp import DiagGaussianMLPPolicy
 from pql_tpu.ops import RunningMeanStd
 from pql_tpu.utils.trackers import EpisodeStats
 
@@ -62,7 +61,7 @@ class PPO:
             self.critic_tx,
             self._actor_opt0,
             self._critic_opt0,
-        ) = base.init_actor_critic(cfg, env, jax.random.PRNGKey(cfg.seed))
+        ) = self._build_models(cfg, env, jax.random.PRNGKey(cfg.seed))
         buffer_size = cfg.algo.horizon_len * cfg.num_envs
         if buffer_size % cfg.algo.batch_size:
             raise ValueError(
@@ -71,6 +70,10 @@ class PPO:
             )
         self.n_minibatches = buffer_size // cfg.algo.batch_size
         self.train_iter = jax.jit(self._train_iter)
+
+    def _build_models(self, cfg, env, rng):
+        """Model-construction hook (overridden by the equivariant EQG)."""
+        return base.init_actor_critic(cfg, env, rng)
 
     def init(self, rng) -> PPOState:
         cfg, env = self.cfg, self.env
@@ -106,7 +109,7 @@ class PPO:
             else:
                 obs_n = obs
             action, logp, _ = self.actor.apply(
-                state.actor_params, obs_n, k_a, method=DiagGaussianMLPPolicy.sample
+                state.actor_params, obs_n, k_a, method=type(self.actor).sample
             )
             value = self.critic.apply(state.critic_params, obs_n)[..., 0]
             if cfg.algo.value_norm:
@@ -208,7 +211,7 @@ class PPO:
 
         def actor_loss_fn(actor_params):
             logp_new, entropy = self.actor.apply(
-                actor_params, obs_n, actions, method=DiagGaussianMLPPolicy.logprob_entropy
+                actor_params, obs_n, actions, method=type(self.actor).logprob_entropy
             )
             ratio = jnp.exp(logp_new - logp_old)
             l1 = -adv * ratio

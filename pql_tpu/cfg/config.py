@@ -104,6 +104,13 @@ class AlgoConfig:
     ratio_clip: float = 0.2
     # --- multi-agent (reference cfg.task.multi.same_policy, ippo.py:35-39) ---
     same_policy: bool = False
+    # --- diffusion policies (reference eqsd.py:31, cfg.algo.diffusion_iter) ---
+    diffusion_iter: int = 5
+    # EQSD team-actor choice (reference eqsd.py:29-33)
+    diffusion: bool = False
+    # EQSD2 scheduled KL weight (reference eqsd2.py:55, kl_max → 0)
+    kl_max: float = 1.0
+    kl_decay_iters: int = 1000
     # --- TPU-specific ---
     # Compute dtype for network forward passes ('float32' | 'bfloat16').
     # Params are always stored in float32.
@@ -165,6 +172,46 @@ def _algo_presets() -> dict[str, dict[str, Any]]:
             update_times=4,
         ),
         "iddpg": dict(name="IDDPG", eval_freq=100, update_times=8),
+    }
+
+
+def _ppo_like(name: str, **extra: Any) -> dict[str, Any]:
+    """The equivariant/team research agents reuse the PPO hyperparam group
+    with the agent class swapped (the reference gives them no yaml of
+    their own)."""
+    d = dict(
+        name=name,
+        horizon_len=16,
+        batch_size=32768,
+        act_class="DiagGaussianMLPPolicy",
+        cri_class="MLPCritic",
+        eval_freq=20,
+        update_times=4,
+    )
+    d.update(extra)
+    return d
+
+
+def _eq_presets() -> dict[str, dict[str, Any]]:
+    eq_models = dict(
+        act_class="DiagGaussianEquivariantMLPPolicy",
+        cri_class="MLPCriticEquivariant",
+    )
+    return {
+        "eq": _ppo_like("EQ", **eq_models),
+        "eqg": _ppo_like("EQG", **eq_models),
+        "eqs": _ppo_like("EQS", **eq_models),
+        "eqsc": _ppo_like("EQSC", **eq_models),
+        "eqsdata": _ppo_like("EQSdata"),  # plain nets + data augmentation
+        "eqsd": _ppo_like("EQSD", **eq_models),
+        "eqsd2": _ppo_like("EQSD2", **eq_models),
+        "qtotv1": _ppo_like("QTOTV1"),
+        "qtotv2": _ppo_like("QTOTV2"),
+        "iart": _ppo_like("IART"),
+        "ippoteam": _ppo_like("IPPOTeam"),
+        "ippoteam2": _ppo_like("IPPOTeam2"),
+        "ppov": _ppo_like("PPOV"),
+        "ippov": _ppo_like("IPPOV"),
     }
 
 
@@ -272,6 +319,7 @@ def preprocess_config(cfg: Config, user_overrode: set[str] | None = None) -> Con
 def algo_config(name: str) -> AlgoConfig:
     """Build an AlgoConfig for a named algo group (like hydra `algo=...`)."""
     presets = _algo_presets()
+    presets.update(_eq_presets())
     key = name.lower()
     if key not in presets:
         raise ValueError(f"Unknown algo '{name}'. Available: {sorted(presets)}")

@@ -25,9 +25,17 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pql_tpu.utils.symmetry import MultiAgentSpec
+from pql_tpu.utils.symmetry import EquivarianceSpec, MultiAgentSpec
 
 _ARM_OBS = 12  # cos q(2), sin q(2), qd(2), target(2), tip-target(2), other_tip(2)
+
+# C2 symmetry for the equivariant tier: reflection of the whole system
+# across the y=0 plane. It acts on each arm's LOCAL obs independently:
+# q → −q (so cos even, sin odd), qd odd, every local (x, y) point →
+# (x, −y), torques odd. The task dynamics/reward are exactly equivariant /
+# invariant under this map (no y-asymmetry in the physics).
+_ARM_OBS_SIGNS = (1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1, -1)
+_ARM_ACT_SIGNS = (-1, -1)
 
 
 class BimanualReacher:
@@ -72,6 +80,12 @@ class BimanualReacher:
         mirror_obs_sign=None,
         mirror_act_perm=None,
         mirror_act_sign=None,
+    )
+
+    # C2 reps for the equivariant agents (reference cfg.task.symmetry)
+    equivariance = EquivarianceSpec(
+        obs_signs=(_ARM_OBS_SIGNS, _ARM_OBS_SIGNS),
+        act_signs=_ARM_ACT_SIGNS,
     )
 
     def init_state(self, rng):

@@ -16,6 +16,22 @@ from pql_tpu.models.mlp import (
     DistributionalDoubleQ,
     MLPCritic,
 )
+from pql_tpu.models.emlp import (
+    EMLP,
+    EquivariantMLPNet,
+    TanhEquivariantMLPPolicy,
+    DiagGaussianEquivariantMLPPolicy,
+    MLPCriticEquivariant,
+    DoubleQEquivariant,
+)
+from pql_tpu.models.diffusion import (
+    DiffusionNet,
+    DiffusionPolicy,
+    MLPResNet,
+    StateDiffusionPolicy,
+)
+from pql_tpu.models.ediffusion import EquivariantDiffusionPolicy
+from pql_tpu.models.pointnet import Encoder, MultiStagePointNetEncoder, StateEncoder
 
 MODEL_REGISTRY = {
     "MLPNet": MLPNet,
@@ -26,6 +42,20 @@ MODEL_REGISTRY = {
     "DoubleQBatchNorm": DoubleQBatchNorm,
     "DistributionalDoubleQ": DistributionalDoubleQ,
     "MLPCritic": MLPCritic,
+    "EMLP": EMLP,
+    "EquivariantMLPNet": EquivariantMLPNet,
+    "TanhEquivariantMLPPolicy": TanhEquivariantMLPPolicy,
+    "DiagGaussianEquivariantMLPPolicy": DiagGaussianEquivariantMLPPolicy,
+    "MLPCriticEquivariant": MLPCriticEquivariant,
+    "DoubleQEquivariant": DoubleQEquivariant,
+    "DiffusionNet": DiffusionNet,
+    "DiffusionPolicy": DiffusionPolicy,
+    "StateDiffusionPolicy": StateDiffusionPolicy,
+    "MLPResNet": MLPResNet,
+    "EquivariantDiffusionPolicy": EquivariantDiffusionPolicy,
+    "MultiStagePointNetEncoder": MultiStagePointNetEncoder,
+    "StateEncoder": StateEncoder,
+    "Encoder": Encoder,
 }
 
 

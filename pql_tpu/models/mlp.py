@@ -108,8 +108,12 @@ class DiagGaussianMLPPolicy(nn.Module):
     @nn.compact
     def __call__(self, obs):
         mean = MLPNet(self.act_dim, self.hidden, dtype=self.dtype)(obs)
+        # explicit dtype: a weak-typed init would flip weak_type after the
+        # first optimizer update and force a second jit trace of train_iter
         log_std = self.param(
-            "logstd", lambda key, shape: jnp.full(shape, self.init_log_std), (self.act_dim,)
+            "logstd",
+            lambda key, shape: jnp.full(shape, self.init_log_std, jnp.float32),
+            (self.act_dim,),
         )
         return mean, jnp.broadcast_to(log_std, mean.shape)
 

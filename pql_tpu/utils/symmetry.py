@@ -78,6 +78,24 @@ class MultiAgentSpec:
     mirror_act_sign: tuple | None = None
 
 
+@dataclass(frozen=True)
+class EquivarianceSpec:
+    """Static C2-representation data for equivariant networks.
+
+    Mirrors the reference's ``cfg.task.symmetry`` field lists consumed by
+    the equivariant agents (reference eq.py:26-29, eqs.py:27-31: per-hand
+    actor_input_fields/actor_output_fields naming escnn representations).
+    Here a representation is its generator: per-dimension signs plus an
+    optional permutation (signed permutation = every irrep combination a
+    C2 field type can express).
+    """
+
+    obs_signs: tuple  # ((right-hand signs...), (left-hand signs...))
+    act_signs: tuple  # per-hand action signs
+    obs_perms: tuple | None = None  # optional ((right perm...), (left perm...))
+    act_perm: tuple | None = None
+
+
 def _signed_perm(x: jax.Array, perm, sign) -> jax.Array:
     if perm is not None:
         x = jnp.take(x, jnp.asarray(np.asarray(perm, np.int32)), axis=-1)
