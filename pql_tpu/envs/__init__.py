@@ -7,20 +7,29 @@ create_task_env for the train and eval env instances.
 """
 
 from pql_tpu.envs.base import Task, VecEnv, VecEnvState, handle_timeout
-from pql_tpu.envs.classic import Cartpole, Pendulum, PointMass, Reacher
-from pql_tpu.envs.rigid import Ant
-from pql_tpu.envs.hand import AllegroHand
+from pql_tpu.envs.classic import BallBalance, Cartpole, Pendulum, PointMass, Reacher
+from pql_tpu.envs.rigid import Ant, Anymal, Humanoid
+from pql_tpu.envs.hand import AllegroHand, ShadowHand
+from pql_tpu.envs.manip import FrankaCubeStack
 from pql_tpu.envs.bimanual import BimanualReacher, BimanualReacherSym
+from pql_tpu.envs.vision import BimanualReacherVision, ReacherVision
 
 TASK_REGISTRY = {
     "Cartpole": Cartpole,
     "Pendulum": Pendulum,
     "PointMass": PointMass,
     "Reacher": Reacher,
+    "BallBalance": BallBalance,
     "Ant": Ant,
+    "Humanoid": Humanoid,
+    "Anymal": Anymal,
     "AllegroHand": AllegroHand,
+    "ShadowHand": ShadowHand,
+    "FrankaCubeStack": FrankaCubeStack,
     "BimanualReacher": BimanualReacher,
     "BimanualReacherSym": BimanualReacherSym,
+    "ReacherVision": ReacherVision,
+    "BimanualReacherVision": BimanualReacherVision,
 }
 
 
@@ -55,10 +64,4 @@ __all__ = [
     "make_task",
     "make_env",
     "make_eval_env",
-    "Cartpole",
-    "Pendulum",
-    "PointMass",
-    "Reacher",
-    "Ant",
-    "AllegroHand",
-]
+] + sorted(TASK_REGISTRY)

@@ -22,10 +22,15 @@ from pql_tpu.utils.trackers import Tracker
 
 class Evaluator:
     def __init__(self, cfg, env: VecEnv, actor_apply: Callable):
-        """actor_apply(actor_params, normalized_obs) -> deterministic action."""
+        """actor_apply(actor_params, normalized_obs) -> deterministic action.
+
+        Visual agents set ``actor_apply.needs_env_state = True`` and
+        receive the env state as a third argument (to render camera /
+        pointcloud observations from physics state)."""
         self.cfg = cfg
         self.env = env
         self.actor_apply = actor_apply
+        self._needs_env_state = bool(getattr(actor_apply, "needs_env_state", False))
         self._rollout = jax.jit(self._rollout_impl)
         self.start_time = time.time()
 
@@ -39,7 +44,10 @@ class Evaluator:
         def step(carry, key):
             env_state, obs, cur_ret, cur_len, ret_tr, len_tr = carry
             obs_n = obs_rms.normalize(obs) if self.cfg.algo.obs_norm else obs
-            action = self.actor_apply(actor_params, obs_n)
+            if self._needs_env_state:
+                action = self.actor_apply(actor_params, obs_n, env_state)
+            else:
+                action = self.actor_apply(actor_params, obs_n)
             env_state, next_obs, reward, done, info = env.step(env_state, action, key)
             cur_ret = cur_ret + reward
             cur_len = cur_len + 1.0
