@@ -220,3 +220,62 @@ class Reacher:
             jnp.asarray(False),
             {"success": success.astype(jnp.float32)},
         )
+
+
+class BallBalance:
+    """Keep a rolling ball centered on a tilting tray (IGE 'BallBalance'
+    analog; the reference lists it with reward_scale 0.1 and a 3600 s
+    budget, pql/utils/common.py:159-182). State: tray pitch/roll (+rates)
+    and ball position/velocity on the tray plane; actions are tray
+    torques; the ball accelerates down the tilt with rolling inertia."""
+
+    obs_dim = 10  # pitch, roll, pitch_rate, roll_rate, ball xy, ball vel xy, dist, speed
+    action_dim = 2
+    max_episode_length = 500
+
+    dt = 1.0 / 60.0
+    gravity = 9.81
+    tray_inertia = 0.5
+    tray_damping = 0.98
+    max_torque = 3.0
+    max_tilt = 0.5
+    tray_radius = 0.5
+    roll_factor = 5.0 / 7.0  # solid-sphere rolling
+
+    def init_state(self, rng):
+        k1, k2 = jax.random.split(rng)
+        return {
+            "tilt": jax.random.uniform(k1, (2,), jnp.float32, -0.05, 0.05),
+            "tilt_rate": jnp.zeros(2, jnp.float32),
+            "ball": jax.random.uniform(k2, (2,), jnp.float32, -0.25, 0.25),
+            "ball_vel": jnp.zeros(2, jnp.float32),
+        }
+
+    def get_obs(self, state):
+        dist = jnp.linalg.norm(state["ball"])
+        speed = jnp.linalg.norm(state["ball_vel"])
+        return jnp.concatenate(
+            [state["tilt"], state["tilt_rate"], state["ball"], state["ball_vel"],
+             dist[None], speed[None]]
+        )
+
+    def dynamics(self, state, action, rng):
+        torque = self.max_torque * jnp.clip(action, -1.0, 1.0)
+        tilt_rate = state["tilt_rate"] * self.tray_damping + self.dt * torque / self.tray_inertia
+        tilt = jnp.clip(state["tilt"] + self.dt * tilt_rate, -self.max_tilt, self.max_tilt)
+        # ball rolls down the slope: a = (5/7) g sin(tilt) along each axis
+        acc = self.roll_factor * self.gravity * jnp.sin(tilt)
+        ball_vel = state["ball_vel"] + self.dt * acc
+        ball = state["ball"] + self.dt * ball_vel
+
+        dist = jnp.linalg.norm(ball)
+        off_tray = dist > self.tray_radius
+        reward = jnp.where(
+            off_tray,
+            -5.0,
+            1.0 - 2.0 * dist - 0.1 * jnp.linalg.norm(ball_vel)
+            - 0.05 * jnp.sum(jnp.square(action)),
+        )
+        success = jnp.logical_and(dist < 0.05, jnp.linalg.norm(ball_vel) < 0.1)
+        next_state = {"tilt": tilt, "tilt_rate": tilt_rate, "ball": ball, "ball_vel": ball_vel}
+        return next_state, reward, off_tray, {"success": success.astype(jnp.float32)}

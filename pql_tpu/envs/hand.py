@@ -31,18 +31,19 @@ FINGER_BASE_R = 0.11
 FINGER_BASE_Z = 0.035
 
 
-def hand_model(dt: float = 1.0 / 480.0) -> RigidBodyModel:
-    """4 fingers × 4 curl hinges anchored to the world + a free cube.
+def hand_model(dt: float = 1.0 / 480.0, n_fingers: int = N_FINGERS) -> RigidBodyModel:
+    """n_fingers × 4 curl hinges anchored to the world + a free cube.
 
-    Bodies 0..15: finger links (parent chains anchored at the palm rim,
-    pointing inward, curl axis = rim tangent); body 16: the cube.
+    Bodies 0..n_dof-1: finger links (parent chains anchored at the palm
+    rim, pointing inward, curl axis = rim tangent); last body: the cube.
+    4 fingers = the Allegro hand; 5 = the Shadow-hand analog.
     """
     parent, joint_type, joint_axis, tree_pos = [], [], [], []
     mass, com, inertia, geoms = [], [], [], []
 
     m_link = 0.06
-    for f in range(N_FINGERS):
-        phi = np.pi / 4 + f * np.pi / 2  # rim anchors between the axes
+    for f in range(n_fingers):
+        phi = np.pi / 4 + f * 2 * np.pi / n_fingers  # rim anchors
         d = np.array([np.cos(phi), np.sin(phi), 0.0])  # outward
         t = np.array([-np.sin(phi), np.cos(phi), 0.0])  # curl axis
         for l in range(LINKS_PER_FINGER):
@@ -62,8 +63,8 @@ def hand_model(dt: float = 1.0 / 480.0) -> RigidBodyModel:
             inertia.append(i_perp * (eye - np.outer(d, d)) + 1e-6 * eye)
             geoms.append(Geom(body, tuple(-LINK_LEN * d), 0.016))
 
-    # the cube (body 16)
-    cube = N_FINGERS * LINKS_PER_FINGER
+    # the cube (last body)
+    cube = n_fingers * LINKS_PER_FINGER
     m_cube = 0.1
     parent.append(-1)
     joint_type.append(FREE)
@@ -73,19 +74,20 @@ def hand_model(dt: float = 1.0 / 480.0) -> RigidBodyModel:
     com.append(np.zeros(3))
     inertia.append((m_cube / 6.0) * (2 * CUBE_HALF) ** 2 * np.eye(3))
 
-    nv = 16 + 6
+    n_dof = n_fingers * LINKS_PER_FINGER
+    nv = n_dof + 6
     limit_lo = np.full(nv, -np.inf, np.float32)
     limit_hi = np.full(nv, np.inf, np.float32)
-    for dof in range(16):
+    for dof in range(n_dof):
         # curl range: slightly hyperextended to closed fist
         limit_lo[dof], limit_hi[dof] = -0.3, 1.6
     damping = np.zeros(nv, np.float32)
-    damping[:16] = 0.08
+    damping[:n_dof] = 0.08
     armature = np.zeros(nv, np.float32)
-    armature[:16] = 0.002
+    armature[:n_dof] = 0.002
 
     return RigidBodyModel(
-        nb=17,
+        nb=n_dof + 1,
         parent=tuple(parent),
         joint_type=tuple(joint_type),
         joint_axis=np.asarray(joint_axis, np.float32),
@@ -95,8 +97,8 @@ def hand_model(dt: float = 1.0 / 480.0) -> RigidBodyModel:
         inertia=np.asarray(inertia, np.float32),
         damping=damping,
         armature=armature,
-        actuated_dofs=tuple(range(16)),
-        gear=np.full(16, 0.6, np.float32),
+        actuated_dofs=tuple(range(n_dof)),
+        gear=np.full(n_dof, 0.6, np.float32),
         limit_lo=limit_lo,
         limit_hi=limit_hi,
         limit_stiffness=5.0,
@@ -133,6 +135,8 @@ def rot_dist(q1, q2):
 class AllegroHand:
     """In-hand cube reorientation (IGE 'AllegroHand' analog)."""
 
+    n_fingers = N_FINGERS
+    n_dof = N_FINGERS * LINKS_PER_FINGER
     obs_dim = 16 + 16 + 3 + 4 + 3 + 3 + 4 + 4  # = 53
     action_dim = 16
     max_episode_length = 600
@@ -146,8 +150,8 @@ class AllegroHand:
     action_penalty = 0.0002
 
     def __init__(self):
-        self.model = hand_model()
-        self.cube = N_FINGERS * LINKS_PER_FINGER
+        self.model = hand_model(n_fingers=self.n_fingers)
+        self.cube = self.n_fingers * LINKS_PER_FINGER
         self.cube_q = self.model.q_start[self.cube]
         self.cube_v = self.model.v_start[self.cube]
 
@@ -156,7 +160,9 @@ class AllegroHand:
         k1, k2, k3 = jax.random.split(rng, 3)
         q = jnp.asarray(m.neutral_q())
         # fingers slightly curled
-        q = q.at[:16].set(0.2 + jax.random.uniform(k1, (16,), jnp.float32, -0.1, 0.1))
+        q = q.at[: self.n_dof].set(
+            0.2 + jax.random.uniform(k1, (self.n_dof,), jnp.float32, -0.1, 0.1)
+        )
         # cube resting above the palm center
         q = q.at[self.cube_q : self.cube_q + 3].set(
             jnp.array([0.0, 0.0, CUBE_HALF + 0.002])
@@ -174,8 +180,8 @@ class AllegroHand:
         qdiff = quat_mul(quat, quat_inv(state["target"]))
         return jnp.concatenate(
             [
-                q[:16],
-                qd[:16],
+                q[: self.n_dof],
+                qd[: self.n_dof],
                 pos,
                 quat,
                 qd[self.cube_v + 3 : self.cube_v + 6],  # cube lin vel (body)
@@ -223,3 +229,15 @@ class AllegroHand:
         terminated = jnp.logical_or(jnp.logical_or(dropped, drifted), bad)
         next_state = {"q": q, "qd": qd, "target": new_target}
         return next_state, reward, terminated, {"success": success.astype(jnp.float32)}
+
+
+class ShadowHand(AllegroHand):
+    """Five-finger in-hand cube reorientation (IGE 'ShadowHand' analog:
+    the reference runs it at 16384 envs with the same PPO presets as
+    AllegroHand, pql/utils/common.py:246-275; 20 actuated curl DOF here
+    vs the real hand's 20-of-24)."""
+
+    n_fingers = 5
+    n_dof = 5 * LINKS_PER_FINGER
+    obs_dim = 20 + 20 + 3 + 4 + 3 + 3 + 4 + 4  # = 61
+    action_dim = 20
