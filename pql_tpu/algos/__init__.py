@@ -10,7 +10,7 @@ from pql_tpu.algos.pql import PQL, PQLState
 from pql_tpu.algos.ippo import IPPO, IPPOState
 from pql_tpu.algos.mappo import MAPPO, MAPPOState
 from pql_tpu.algos.iddpg import IDDPG, IDDPGState
-from pql_tpu.algos.eq import EQ, EQG, EQS, EQSC, EQSCState, EQSdata
+from pql_tpu.algos.eq import EQ, EQG, EQS, EQS4, EQSC, EQSCState, EQSdata, MP
 from pql_tpu.algos.eqsd import EQSD, EQSD2
 from pql_tpu.algos.qtot import QTOTV1, QTOTV2
 from pql_tpu.algos.teams import IART, IPPOTeam, IPPOTeam2
@@ -28,8 +28,10 @@ ALGO_REGISTRY = {
     "EQ": EQ,
     "EQG": EQG,
     "EQS": EQS,
+    "EQS4": EQS4,
     "EQSC": EQSC,
     "EQSdata": EQSdata,
+    "MP": MP,
     "EQSD": EQSD,
     "EQSD2": EQSD2,
     "QTOTV1": QTOTV1,

@@ -398,3 +398,190 @@ class EQSdata(IPPO):
             metrics["train/actor_loss_left"] = jnp.mean(losses["actor_left"])
             metrics["train/critic_loss_left"] = jnp.mean(losses["critic_left"])
         return state, metrics
+
+
+class MP(IPPO):
+    """Reference pql/algo/mp.py: structurally AgentIPPO with its own
+    ``cfg.task.multi.MP`` spec block; here an IPPO variant registered
+    under its own name for config parity."""
+
+    name = "MP"
+
+
+class EQS4(IPPO):
+    """Four equivariant policies: right/left hands × normal/opposed
+    frames (reference pql/algo/eqs4.py:29-44, 103-118). The opposed-frame
+    views are the C2-transformed per-hand observations; each hand
+    executes the MEAN of its normal-frame action and the back-transformed
+    opposed-frame action (the in-repo analog of the bidex 4-way
+    get_execute_action, eqs4.py:118), and all four actor/critic pairs
+    train with PPO on their own stream (eqs4.py:154-163: four
+    compute_adv streams with per-stream critics)."""
+
+    name = "EQS4"
+
+    def __init__(self, cfg, env: VecEnv):
+        super().__init__(cfg, env)
+        if self.ma.eq is None:
+            raise ValueError("EQS4 needs the task to provide an EquivarianceSpec")
+        dtype = base.compute_dtype(cfg)
+        self.actor_op = self.ma.make_actor(cfg, dtype, side=0)
+        self.actor_left_op = self.ma.make_actor(cfg, dtype, side=1)
+        self.critic_op = self.ma.make_critic(cfg, dtype, side=0)
+        self.critic_left_op = self.ma.make_critic(cfg, dtype, side=1)
+        self._g_r = jnp.asarray(np.asarray(self.ma.obs_gen(0), np.float32))
+        self._g_l = jnp.asarray(np.asarray(self.ma.obs_gen(1), np.float32))
+        self._g_a = jnp.asarray(np.asarray(self.ma.act_gen(), np.float32))
+        self.train_iter = jax.jit(self._train_iter)
+
+    def _init_params(self, rng):
+        k_base, k1, k2, k3, k4 = jax.random.split(rng, 5)
+        params, opts = super()._init_params(k_base)
+        d_r, d_l = self.ma.obs_dims
+        params["actor_op"] = self.actor_op.init(k1, jnp.zeros((1, d_r)))
+        params["actor_left_op"] = self.actor_left_op.init(k2, jnp.zeros((1, d_l)))
+        params["critic_op"] = self.critic_op.init(k3, jnp.zeros((1, d_r)))
+        params["critic_left_op"] = self.critic_left_op.init(k4, jnp.zeros((1, d_l)))
+        for name in ("actor_op", "actor_left_op", "critic_op", "critic_left_op"):
+            tx = self.actor_tx if name.startswith("actor") else self.critic_tx
+            opts[name] = tx.init(params[name])
+        return params, opts
+
+    def _train_iter(self, state: IPPOState):
+        cfg, env = self.cfg, self.env
+        rng, k_roll, k_perm = jax.random.split(state.rng, 3)
+        state = state.replace(rng=rng)
+
+        def step_fn(carry, _):
+            env_state, obs, dones, obs_rms, stats, k = carry
+            k, k1, k2, k3, k4, k_e = jax.random.split(k, 6)
+            tracker = env.symmetry_tracker(env_state)
+            if cfg.algo.obs_norm:
+                obs_rms = obs_rms.update(obs)
+            obs_n = obs_rms.normalize(obs) if cfg.algo.obs_norm else obs
+            ob_r, ob_l = self.ma.split_obs(obs_n, tracker)
+            ob_r_op, ob_l_op = ob_r @ self._g_r, ob_l @ self._g_l
+            p = state.params
+
+            def act(actor, pp, o, kk):
+                return actor.apply(pp, o, kk, method=type(actor).sample)
+
+            a_r, lp_r, _ = act(self.actor, p["actor"], ob_r, k1)
+            a_l, lp_l, _ = act(self.actor_left, p["actor_left"], ob_l, k2)
+            a_op, lp_op, _ = act(self.actor_op, p["actor_op"], ob_r_op, k3)
+            a_lop, lp_lop, _ = act(self.actor_left_op, p["actor_left_op"], ob_l_op, k4)
+            v_r = self.critic.apply(p["critic"], ob_r)[..., 0]
+            v_l = self.critic_left.apply(p["critic_left"], ob_l)[..., 0]
+            v_op = self.critic_op.apply(p["critic_op"], ob_r_op)[..., 0]
+            v_lop = self.critic_left_op.apply(p["critic_left_op"], ob_l_op)[..., 0]
+
+            # ensemble execute: mean of normal and back-transformed opposed
+            exec_r = 0.5 * (a_r + a_op @ self._g_a)
+            exec_l = 0.5 * (a_l + a_lop @ self._g_a)
+            action = self.ma.merge_actions(exec_r, exec_l, tracker)
+            env_state, next_obs, reward, done, info = env.step(env_state, action, k_e)
+            rew_r, rew_l = self.ma.split_reward(info, tracker)
+            stats = stats.update(rew_r + rew_l, done, info)
+            rs = cfg.algo.reward_scale
+            out = dict(
+                ob_r=ob_r, ob_l=ob_l, ob_r_op=ob_r_op, ob_l_op=ob_l_op,
+                dones=dones,
+                a_r=a_r, a_l=a_l, a_op=a_op, a_lop=a_lop,
+                lp_r=lp_r, lp_l=lp_l, lp_op=lp_op, lp_lop=lp_lop,
+                rew_r=rs * rew_r, rew_l=rs * rew_l,
+                v_r=v_r, v_l=v_l, v_op=v_op, v_lop=v_lop,
+                truncated=info["truncated"].astype(jnp.float32),
+            )
+            return (env_state, next_obs, done, obs_rms, stats, k), out
+
+        carry = (state.env_state, state.obs, state.dones, state.obs_rms, state.stats, k_roll)
+        carry, traj = jax.lax.scan(step_fn, carry, None, length=cfg.algo.horizon_len)
+        env_state, obs, dones, obs_rms, stats, _ = carry
+        state = state.replace(
+            env_state=env_state, obs=obs, dones=dones, obs_rms=obs_rms, stats=stats,
+            env_steps=state.env_steps + cfg.algo.horizon_len * env.num_envs,
+        )
+
+        obs_n = self._norm(state.obs_rms, state.obs)
+        tracker = env.symmetry_tracker(state.env_state)
+        ob_r, ob_l = self.ma.split_obs(obs_n, tracker)
+        p = state.params
+        streams = []
+        for key, critic, pk, o_last, rew, val in (
+            ("r", self.critic, "critic", ob_r, traj["rew_r"], traj["v_r"]),
+            ("l", self.critic_left, "critic_left", ob_l, traj["rew_l"], traj["v_l"]),
+            ("op", self.critic_op, "critic_op", ob_r @ self._g_r, traj["rew_r"], traj["v_op"]),
+            ("lop", self.critic_left_op, "critic_left_op", ob_l @ self._g_l,
+             traj["rew_l"], traj["v_lop"]),
+        ):
+            nv = critic.apply(p[pk], o_last)[..., 0]
+            adv, ret = ma_base.gae(
+                rew, traj["dones"], val, traj["truncated"], nv, state.dones,
+                cfg.algo.gamma, cfg.algo.lambda_gae_adv, cfg.algo.use_gae,
+            )
+            streams.append((adv, ret))
+
+        f = ma_base.flat
+        data = (
+            f(traj["ob_r"]), f(traj["a_r"]), f(traj["lp_r"]), f(streams[0][0]),
+            f(streams[0][1]), f(traj["v_r"]),
+            f(traj["ob_l"]), f(traj["a_l"]), f(traj["lp_l"]), f(streams[1][0]),
+            f(streams[1][1]), f(traj["v_l"]),
+            f(traj["ob_r_op"]), f(traj["a_op"]), f(traj["lp_op"]), f(streams[2][0]),
+            f(streams[2][1]), f(traj["v_op"]),
+            f(traj["ob_l_op"]), f(traj["a_lop"]), f(traj["lp_lop"]), f(streams[3][0]),
+            f(streams[3][1]), f(traj["v_lop"]),
+        )
+
+        def minibatch_update(state, batch):
+            params, opts = dict(state.params), dict(state.opts)
+            losses = {}
+            groups = (
+                ("actor", "critic", self.actor, self.critic, batch[0:6]),
+                ("actor_left", "critic_left", self.actor_left, self.critic_left, batch[6:12]),
+                ("actor_op", "critic_op", self.actor_op, self.critic_op, batch[12:18]),
+                ("actor_left_op", "critic_left_op", self.actor_left_op,
+                 self.critic_left_op, batch[18:24]),
+            )
+            for a_name, c_name, actor, critic, (o, a, lp, ad, rt, v) in groups:
+                advn = ma_base.normalize_advantages(ad)
+
+                def a_obj(pp, actor=actor, o=o, a=a, lp=lp, advn=advn):
+                    lpn, ent = actor.apply(pp, o, a, method=type(actor).logprob_entropy)
+                    return ma_base.ppo_actor_loss(
+                        lpn, lp, advn, ent, cfg.algo.ratio_clip, cfg.algo.lambda_entropy
+                    )
+
+                def c_obj(pp, critic=critic, o=o, rt=rt, v=v):
+                    vn = critic.apply(pp, o)[..., 0]
+                    return ma_base.ppo_value_loss(
+                        vn, rt, v, cfg.algo.ratio_clip, cfg.algo.value_clip
+                    )
+
+                for kind, obj, tx in ((a_name, a_obj, self.actor_tx),
+                                      (c_name, c_obj, self.critic_tx)):
+                    loss, grads = jax.value_and_grad(obj)(params[kind])
+                    upd, opts[kind] = tx.update(grads, opts[kind], params[kind])
+                    params[kind] = optax.apply_updates(params[kind], upd)
+                    losses[kind] = loss
+            state = state.replace(params=params, opts=opts,
+                                  update_count=state.update_count + 1)
+            return state, losses
+
+        def epoch(state, key):
+            mb = ma_base.epoch_minibatches(key, data, cfg.algo.batch_size)
+            return jax.lax.scan(minibatch_update, state, mb)
+
+        keys = jax.random.split(k_perm, cfg.algo.update_times)
+        state, losses = jax.lax.scan(lambda s, k: epoch(s, k), state, keys)
+        return state, {**ma_base.loss_metrics(losses), **state.stats.metrics()}
+
+    def eval_actor_apply(self, params, obs_n):
+        ob_r, ob_l = self.ma.split_obs(obs_n, None)
+        m_r, _ = self.actor.apply(params["actor"], ob_r)
+        m_l, _ = self.actor_left.apply(params["actor_left"], ob_l)
+        m_op, _ = self.actor_op.apply(params["actor_op"], ob_r @ self._g_r)
+        m_lop, _ = self.actor_left_op.apply(params["actor_left_op"], ob_l @ self._g_l)
+        exec_r = 0.5 * (m_r + m_op @ self._g_a)
+        exec_l = 0.5 * (m_l + m_lop @ self._g_a)
+        return self.ma.merge_actions(exec_r, exec_l, None)

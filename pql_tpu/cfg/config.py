@@ -201,6 +201,8 @@ def _eq_presets() -> dict[str, dict[str, Any]]:
         "eq": _ppo_like("EQ", **eq_models),
         "eqg": _ppo_like("EQG", **eq_models),
         "eqs": _ppo_like("EQS", **eq_models),
+        "eqs4": _ppo_like("EQS4", **eq_models),
+        "mp": _ppo_like("MP"),
         "eqsc": _ppo_like("EQSC", **eq_models),
         "eqsdata": _ppo_like("EQSdata"),  # plain nets + data augmentation
         "eqsd": _ppo_like("EQSD", **eq_models),

@@ -218,3 +218,30 @@ class TestEQAgents:
         m1, _ = agent.actor.apply(state.params["actor"], x @ g)
         m2, _ = agent.actor.apply(state.params["actor"], x)
         np.testing.assert_allclose(m1, m2 @ g_act, atol=1e-4)
+
+
+class TestEQS4AndMP:
+    def test_eqs4_smoke(self, rng):
+        from pql_tpu.algos.eq import EQS4
+
+        cfg = ma_cfg("eqs4", algo__batch_size=32)
+        agent = EQS4(cfg, make_env(cfg))
+        state = agent.init(rng)
+        assert "actor_op" in state.params and "critic_left_op" in state.params
+        state, metrics = run_iters(agent, state, n=1)
+        for k in ("train/actor_loss", "train/actor_loss_op",
+                  "train/actor_loss_left_op", "train/critic_loss_op"):
+            assert np.isfinite(float(metrics[k])), k
+        act = agent.eval_actor_apply(state.params, jnp.zeros((3, 24)))
+        assert act.shape == (3, 4)
+
+    def test_mp_is_ippo_variant(self, rng):
+        from pql_tpu.algos.eq import MP
+        from pql_tpu.algos.ippo import IPPO
+
+        assert issubclass(MP, IPPO) and MP.name == "MP"
+        cfg = ma_cfg("mp")
+        agent = MP(cfg, make_env(cfg))
+        state = agent.init(rng)
+        state, metrics = run_iters(agent, state, n=1)
+        assert np.isfinite(float(metrics["train/actor_loss"]))
