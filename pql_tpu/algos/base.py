@@ -26,6 +26,37 @@ def compute_dtype(cfg) -> jnp.dtype:
     return jnp.bfloat16 if cfg.algo.compute_dtype == "bfloat16" else jnp.float32
 
 
+def probe_info(env: VecEnv) -> dict:
+    """Shape-probe the task's per-step info dict (no FLOPs)."""
+    task = env.task
+    return jax.eval_shape(
+        lambda k: task.dynamics(task.init_state(k), jnp.zeros(task.action_dim), k)[3],
+        jax.random.PRNGKey(0),
+    )
+
+
+def make_stats(cfg, env: VecEnv) -> "EpisodeStats":
+    """EpisodeStats wired to whatever the task reports: detailed_reward
+    terms (ac_base.py:104-114) and cfg.info_track_keys with their modes
+    (reference cfg default.yaml:32-35, ac_base.py:54-59)."""
+    info = probe_info(env)
+    detailed = tuple(sorted(info["detailed_reward"])) if "detailed_reward" in info else ()
+    info_keys, info_modes = [], []
+    if cfg.info_track_keys:
+        modes = cfg.info_track_step or ("last",) * len(cfg.info_track_keys)
+        for k, m in zip(cfg.info_track_keys, modes):
+            if k in info:
+                info_keys.append(k)
+                info_modes.append(m)
+    return EpisodeStats.create(
+        env.num_envs,
+        cfg.algo.tracker_len,
+        detailed_keys=detailed,
+        info_keys=tuple(info_keys),
+        info_modes=tuple(info_modes),
+    )
+
+
 def build_actor(cfg, env: VecEnv):
     """Instantiate the policy from cfg.algo.act_class (ac_base.py:28-31)."""
     cls = get_model(cfg.algo.act_class)

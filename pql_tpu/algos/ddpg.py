@@ -103,7 +103,7 @@ class DDPG:
                 env.num_envs, env.obs_dim, env.action_dim, cfg.algo.nstep, cfg.algo.gamma
             ),
             replay=replay,
-            stats=EpisodeStats.create(env.num_envs, cfg.algo.tracker_len),
+            stats=base.make_stats(cfg, env),
             rng=k_loop,
             env_steps=jnp.zeros((), jnp.int32),
             update_count=jnp.zeros((), jnp.int32),

@@ -185,7 +185,7 @@ class EQSD2:
             env_state=env_state,
             obs=obs,
             dones=jnp.zeros(env.num_envs, jnp.float32),
-            stats=EpisodeStats.create(env.num_envs, cfg.algo.tracker_len),
+            stats=base.make_stats(cfg, env),
             rng=k[7],
             env_steps=jnp.zeros((), jnp.int32),
             update_count=jnp.zeros((), jnp.int32),

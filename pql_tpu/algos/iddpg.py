@@ -113,7 +113,7 @@ class IDDPG:
                 valid_start=cfg.algo.nstep - 1,
                 reward_dim=2,
             ),
-            stats=EpisodeStats.create(env.num_envs, cfg.algo.tracker_len),
+            stats=base.make_stats(cfg, env),
             rng=k[5],
             env_steps=jnp.zeros((), jnp.int32),
             update_count=jnp.zeros((), jnp.int32),

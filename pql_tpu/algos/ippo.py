@@ -116,7 +116,7 @@ class IPPO:
             env_state=env_state,
             obs=obs,
             dones=jnp.zeros(env.num_envs, jnp.float32),
-            stats=EpisodeStats.create(env.num_envs, cfg.algo.tracker_len),
+            stats=base.make_stats(cfg, env),
             rng=k_loop,
             env_steps=jnp.zeros((), jnp.int32),
             update_count=jnp.zeros((), jnp.int32),

@@ -105,7 +105,7 @@ class PPOV:
             env_state=env_state,
             obs=obs,
             dones=jnp.zeros(env.num_envs, jnp.float32),
-            stats=EpisodeStats.create(env.num_envs, cfg.algo.tracker_len),
+            stats=base.make_stats(cfg, env),
             rng=k_loop,
             env_steps=jnp.zeros((), jnp.int32),
             update_count=jnp.zeros((), jnp.int32),
@@ -287,7 +287,7 @@ class IPPOV:
             env_state=env_state,
             obs=obs,
             dones=jnp.zeros(env.num_envs, jnp.float32),
-            stats=EpisodeStats.create(env.num_envs, cfg.algo.tracker_len),
+            stats=base.make_stats(cfg, env),
             rng=k[5],
             env_steps=jnp.zeros((), jnp.int32),
             update_count=jnp.zeros((), jnp.int32),

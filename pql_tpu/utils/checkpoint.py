@@ -49,3 +49,49 @@ def save_model_snapshot(path: str, actor_params, critic_params, obs_rms) -> None
             ),
         },
     )
+
+
+def load_model_snapshot(path: str):
+    """Load a weights-only snapshot saved by save_model_snapshot
+    (the analog of the reference's wandb-artifact download + torch.load,
+    model_util.py:9-21). Returns {actor, critic, obs_rms-dict}."""
+    return load_checkpoint(path)
+
+
+def restore_into_state(state, snapshot):
+    """Weights-only resume (reference load_model wiring: actor into the
+    agent, critic into the learners, rms into the actor —
+    train_baselines.py:33-37, pql_v_learner.py:44-45, pql_actor.py:37-38).
+
+    Handles both single-agent states (actor_params/critic_params fields)
+    and multi-agent states (one ``params`` dict)."""
+    import jax.numpy as jnp
+
+    rms = snapshot.get("obs_rms")
+    if rms is not None and hasattr(state, "obs_rms"):
+        state = state.replace(
+            obs_rms=state.obs_rms.replace(
+                mean=jnp.asarray(rms["mean"]),
+                var=jnp.asarray(rms["var"]),
+                count=jnp.asarray(rms["count"]),
+            )
+        )
+    if hasattr(state, "params"):
+        params = dict(state.params)
+        actor = snapshot.get("actor")
+        critic = snapshot.get("critic")
+        if isinstance(actor, dict) and set(actor) & set(params):
+            params.update(actor)
+        if isinstance(critic, dict) and set(critic) & set(params):
+            params.update(critic)
+        return state.replace(params=params)
+    updates = {}
+    if "actor" in snapshot:
+        updates["actor_params"] = snapshot["actor"]
+        if hasattr(state, "actor_target"):
+            updates["actor_target"] = snapshot["actor"]
+    if "critic" in snapshot:
+        updates["critic_params"] = snapshot["critic"]
+        if hasattr(state, "critic_target"):
+            updates["critic_target"] = snapshot["critic"]
+    return state.replace(**updates)

@@ -58,22 +58,47 @@ class Tracker:
 @struct.dataclass
 class EpisodeStats:
     """Per-env accumulators + trackers, as maintained by the actor
-    (pql/algo/pql_actor.py:24-27,129-147)."""
+    (pql/algo/pql_actor.py:24-27,129-147), plus the reference's generic
+    info-key tracking (ac_base.py:54-59, 88-101: per-key Trackers with
+    'last' / 'all-episode' / 'all-step' accumulation modes) and per-term
+    detailed-reward trackers (ac_base.py:104-114)."""
 
     current_returns: jax.Array  # [E]
     current_lengths: jax.Array  # [E]
     return_tracker: Tracker
     step_tracker: Tracker
     success_tracker: Tracker
+    # detailed_reward: per-term episode accumulators + trackers
+    detailed_acc: dict  # name -> [E]
+    detailed_tracker: dict  # name -> Tracker
+    # info-key tracking: name -> (accumulator [E] for all-episode mode)
+    info_acc: dict
+    info_tracker: dict
+    info_modes: tuple = struct.field(pytree_node=False, default=())
+    info_keys: tuple = struct.field(pytree_node=False, default=())
 
     @classmethod
-    def create(cls, num_envs: int, tracker_len: int = 100) -> "EpisodeStats":
+    def create(
+        cls,
+        num_envs: int,
+        tracker_len: int = 100,
+        detailed_keys: tuple = (),
+        info_keys: tuple = (),
+        info_modes: tuple = (),
+    ) -> "EpisodeStats":
+        zeros = lambda: jnp.zeros(num_envs, jnp.float32)
         return cls(
-            current_returns=jnp.zeros(num_envs, jnp.float32),
-            current_lengths=jnp.zeros(num_envs, jnp.float32),
+            current_returns=zeros(),
+            current_lengths=zeros(),
             return_tracker=Tracker.create(tracker_len),
             step_tracker=Tracker.create(tracker_len),
             success_tracker=Tracker.create(tracker_len),
+            detailed_acc={k: zeros() for k in detailed_keys},
+            detailed_tracker={k: Tracker.create(tracker_len) for k in detailed_keys},
+            info_acc={k: zeros() for k in info_keys},
+            info_tracker={k: Tracker.create(tracker_len) for k in info_keys},
+            info_modes=tuple(info_modes),
+            info_keys=tuple(info_keys),
         )
 
     def update(self, reward: jax.Array, done: jax.Array, info: dict) -> "EpisodeStats":
@@ -93,11 +118,40 @@ class EpisodeStats:
                     info["success"].astype(jnp.float32), done_mask
                 )
             )
+        # per-term reward logger (ac_base.py:104-114)
+        if self.detailed_acc and "detailed_reward" in info:
+            acc, trk = dict(new.detailed_acc), dict(new.detailed_tracker)
+            for k in acc:
+                total = acc[k] + info["detailed_reward"][k]
+                trk[k] = trk[k].update(total, done_mask)
+                acc[k] = jnp.where(done_mask, 0.0, total)
+            new = new.replace(detailed_acc=acc, detailed_tracker=trk)
+        # info-key trackers (ac_base.py:88-101)
+        if self.info_keys:
+            acc, trk = dict(new.info_acc), dict(new.info_tracker)
+            for k, mode in zip(self.info_keys, self.info_modes):
+                if k not in info:
+                    continue
+                val = info[k].astype(jnp.float32)
+                if mode == "last":
+                    trk[k] = trk[k].update(val, done_mask)
+                elif mode == "all-episode":
+                    total = acc[k] + val
+                    trk[k] = trk[k].update(total, done_mask)
+                    acc[k] = jnp.where(done_mask, 0.0, total)
+                else:  # 'all-step': every step of every env
+                    trk[k] = trk[k].update(val, jnp.ones_like(done_mask))
+            new = new.replace(info_acc=acc, info_tracker=trk)
         return new
 
     def metrics(self) -> dict[str, jax.Array]:
-        return {
+        out = {
             "train/return": self.return_tracker.mean(),
             "train/episode_length": self.step_tracker.mean(),
             "train/success_rate": self.success_tracker.mean(),
         }
+        for k, t in self.detailed_tracker.items():
+            out[f"train/detailed_reward/{k}"] = t.mean()
+        for k, t in self.info_tracker.items():
+            out[k] = t.mean()
+        return out

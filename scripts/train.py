@@ -25,7 +25,20 @@ import jax
 
 from pql_tpu.cfg import parse_cli, to_dict
 from pql_tpu.envs import make_eval_env
-from pql_tpu.utils.checkpoint import save_model_snapshot
+from pql_tpu.utils.checkpoint import (
+    load_model_snapshot,
+    restore_into_state,
+    save_checkpoint,
+    save_model_snapshot,
+)
+
+
+def _maybe_full_checkpoint(cfg, it: int, state) -> None:
+    """Periodic FULL-state checkpoint (params+opt+rms+replay+counters) —
+    the preemption-resume path the reference lacks (SURVEY §5: reference
+    checkpoints are weights-only wandb artifacts)."""
+    if cfg.checkpoint_dir and cfg.checkpoint_freq and it % cfg.checkpoint_freq == 0:
+        save_checkpoint(os.path.join(cfg.checkpoint_dir, "state"), state)
 from pql_tpu.utils.evaluator import Evaluator
 from pql_tpu.utils.logging import RunLogger
 
@@ -39,6 +52,8 @@ def train_pql(cfg, logger: RunLogger) -> None:
     rng = jax.random.PRNGKey(cfg.seed)
     k_init, k_eval = jax.random.split(rng)
     state = agent.init(k_init)
+    if cfg.artifact:  # weights-only resume (reference model_util.py:9-21)
+        state = restore_into_state(state, load_model_snapshot(cfg.artifact))
 
     evaluator = Evaluator(cfg, make_eval_env(cfg), agent.eval_actor_apply)
     state, _ = agent.warmup(state)
@@ -72,6 +87,7 @@ def train_pql(cfg, logger: RunLogger) -> None:
                     state.critic_params,
                     state.obs_rms,
                 )
+        _maybe_full_checkpoint(cfg, it, state)
         if evaluator.check_if_should_stop(int(state.env_steps)):
             break
 
@@ -98,6 +114,8 @@ def train_baseline(cfg, logger: RunLogger) -> None:
     rng = jax.random.PRNGKey(cfg.seed)
     k_init, k_eval = jax.random.split(rng)
     state = agent.init(k_init)
+    if cfg.artifact:
+        state = restore_into_state(state, load_model_snapshot(cfg.artifact))
 
     evaluator = Evaluator(cfg, make_eval_env(cfg), agent.eval_actor_apply)
     if hasattr(agent, "warmup"):
@@ -129,6 +147,7 @@ def train_baseline(cfg, logger: RunLogger) -> None:
                     _critic_params_of(state),
                     state.obs_rms,
                 )
+        _maybe_full_checkpoint(cfg, it, state)
         if evaluator.check_if_should_stop(int(state.env_steps)):
             break
 

@@ -93,3 +93,77 @@ class TestConfig:
         assert cfg.algo.critic_actor_ratio == 2
         assert cfg.algo.noise.std_max == 0.8 and cfg.algo.noise.std_min == 0.05
         assert cfg.algo.num_atoms == 51
+
+
+class TestInfoAndDetailedTracking:
+    def test_detailed_reward_trackers(self, rng):
+        from pql_tpu.algos import base as algo_base
+        from pql_tpu.cfg import make_config
+        from pql_tpu.envs import make_env
+        import jax.numpy as jnp
+        import numpy as np
+
+        cfg = make_config("ippo", task="BimanualReacher", num_envs=4,
+                          logging__mode="off")
+        env = make_env(cfg)
+        stats = algo_base.make_stats(cfg, env)
+        assert set(stats.detailed_acc) == {
+            "reach_right", "reach_left", "ctrl_right", "ctrl_left", "coordination"
+        }
+        # feed two steps, second one done
+        info = {
+            "detailed_reward": {k: jnp.full(4, 0.5) for k in stats.detailed_acc},
+            "success": jnp.zeros(4),
+        }
+        stats = stats.update(jnp.ones(4), jnp.zeros(4), info)
+        stats = stats.update(jnp.ones(4), jnp.ones(4), info)
+        m = stats.metrics()
+        np.testing.assert_allclose(m["train/detailed_reward/coordination"], 1.0)
+
+    def test_info_track_modes(self, rng):
+        from pql_tpu.utils.trackers import EpisodeStats
+        import jax.numpy as jnp
+        import numpy as np
+
+        stats = EpisodeStats.create(
+            2, 16, info_keys=("a", "b", "c"),
+            info_modes=("last", "all-episode", "all-step"),
+        )
+        info1 = {"a": jnp.array([1.0, 2.0]), "b": jnp.array([1.0, 1.0]),
+                 "c": jnp.array([5.0, 7.0])}
+        stats = stats.update(jnp.zeros(2), jnp.zeros(2), info1)
+        info2 = {"a": jnp.array([3.0, 4.0]), "b": jnp.array([1.0, 1.0]),
+                 "c": jnp.array([1.0, 3.0])}
+        stats = stats.update(jnp.zeros(2), jnp.ones(2), info2)
+        m = stats.metrics()
+        np.testing.assert_allclose(m["a"], 3.5)  # last values at done
+        np.testing.assert_allclose(m["b"], 2.0)  # episode sums
+        np.testing.assert_allclose(m["c"], 4.0)  # every step mean
+
+
+class TestSnapshotRestore:
+    def test_roundtrip_single_agent(self, rng, tmp_path):
+        from pql_tpu.algos.ddpg import DDPG
+        from pql_tpu.cfg import make_config
+        from pql_tpu.envs import make_env
+        from pql_tpu.utils.checkpoint import (
+            load_model_snapshot, restore_into_state, save_model_snapshot,
+        )
+        import jax, numpy as np
+
+        cfg = make_config("ddpg", task="PointMass", num_envs=4,
+                          algo__batch_size=16, algo__memory_size=1024,
+                          logging__mode="off")
+        agent = DDPG(cfg, make_env(cfg))
+        s1 = agent.init(jax.random.PRNGKey(0))
+        s1 = agent.explore(s1, horizon=4, random=True)
+        path = str(tmp_path / "snap")
+        save_model_snapshot(path, s1.actor_params, s1.critic_params, s1.obs_rms)
+
+        s2 = agent.init(jax.random.PRNGKey(7))
+        s2 = restore_into_state(s2, load_model_snapshot(path))
+        l1 = jax.tree_util.tree_leaves(s1.actor_params)
+        l2 = jax.tree_util.tree_leaves(s2.actor_params)
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(a, b)
+        np.testing.assert_allclose(s1.obs_rms.mean, s2.obs_rms.mean)
