@@ -32,6 +32,10 @@ def main() -> None:
         task="Cartpole",
         num_envs=4096,
         logging__mode="off",
+        # TPU-tuned operating point: bf16 network compute (params stay
+        # fp32) and 16 fused iterations per dispatch
+        algo__compute_dtype="bfloat16",
+        algo__iters_per_call=16,
     )
     agent = PQL(cfg)
     state = agent.init(jax.random.PRNGKey(cfg.seed))
@@ -39,16 +43,17 @@ def main() -> None:
 
     # burn-in (compile + cache warm)
     for _ in range(3):
-        state, metrics = agent.train_iter(state)
+        state, metrics = agent.train_block(state)
     jax.block_until_ready(metrics)
 
-    iters = 50
+    calls = 50
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = agent.train_iter(state)
+    for _ in range(calls):
+        state, metrics = agent.train_block(state)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
 
+    iters = calls * agent.iters_per_call
     steps_per_s = iters * cfg.algo.horizon_len * cfg.num_envs / dt
     print(
         json.dumps(

@@ -27,6 +27,7 @@ from pql_tpu.replay import (
     nstep_scan,
     replay_add,
     replay_sample,
+    replay_slots,
 )
 from pql_tpu.utils.trackers import EpisodeStats
 
@@ -80,7 +81,7 @@ class DDPG:
         cfg, env = self.cfg, self.env
         k_env, k_loop = jax.random.split(rng)
         env_state, obs = env.reset(k_env)
-        slots = max(int(cfg.algo.memory_size) // env.num_envs, 1)
+        slots = replay_slots(cfg.algo.memory_size, env.num_envs, cfg.algo.horizon_len)
         replay = create_replay(
             slots=slots,
             num_envs=env.num_envs,

@@ -32,7 +32,14 @@ from pql_tpu.algos import base, ma_base
 from pql_tpu.envs.base import VecEnv, handle_timeout
 from pql_tpu.models import get_model
 from pql_tpu.ops import RunningMeanStd, add_mixed_normal_noise, add_normal_noise, soft_update
-from pql_tpu.replay import create_nstep, create_replay, nstep_scan, replay_add, replay_sample
+from pql_tpu.replay import (
+    create_nstep,
+    create_replay,
+    nstep_scan,
+    replay_add,
+    replay_sample,
+    replay_slots,
+)
 from pql_tpu.utils.trackers import EpisodeStats
 
 
@@ -93,7 +100,7 @@ class IDDPG:
             "critic_left": self.critic_tx.init(params["critic_left"]),
         }
         env_state, obs = env.reset(k[4])
-        slots = max(int(cfg.algo.memory_size) // env.num_envs, 1)
+        slots = replay_slots(cfg.algo.memory_size, env.num_envs, cfg.algo.horizon_len)
         return IDDPGState(
             params=params,
             opts=opts,

@@ -47,7 +47,14 @@ from pql_tpu.envs.base import VecEnv, handle_timeout
 from pql_tpu.ops import RunningMeanStd, add_mixed_normal_noise, add_normal_noise, soft_update
 from pql_tpu.ops.distributional import binary_cross_entropy, categorical_td_target
 from pql_tpu.parallel import make_mesh, state_pspecs
-from pql_tpu.replay import create_nstep, create_replay, nstep_scan, replay_add, replay_sample
+from pql_tpu.replay import (
+    create_nstep,
+    create_replay,
+    nstep_scan,
+    replay_add,
+    replay_sample,
+    replay_slots,
+)
 from pql_tpu.utils.trackers import Tracker
 
 # state field → array axis carrying the env dimension (see parallel.mesh)
@@ -151,7 +158,8 @@ class PQL:
             k: P(None, self.axis) for k in ("ep_returns", "ep_lengths", "success", "done")
         }
 
-        def make_step(horizon: int, random: bool, n_critic: int, n_actor: int):
+        def make_step(horizon: int, random: bool, n_critic: int, n_actor: int,
+                      iters: int = 1):
             inner = shard_map(
                 partial(
                     self._fused_step_local,
@@ -166,9 +174,22 @@ class PQL:
                 check_vma=False,
             )
 
-            def outer(state):
+            def one(state):
                 state, events, losses = inner(state)
                 state = self._update_trackers(state, events)
+                return state, losses
+
+            def outer(state):
+                if iters == 1:
+                    state, losses = one(state)
+                else:
+                    # amortize the per-dispatch host/tunnel overhead (~3 ms
+                    # per XLA execution on a remote chip) over several
+                    # fused iterations — identical op sequence, one launch
+                    state, losses_t = jax.lax.scan(
+                        lambda s, _: one(s), state, None, length=iters
+                    )
+                    losses = jnp.mean(losses_t, axis=0)
                 metrics = {
                     "train/critic_loss": losses[0],
                     "train/actor_loss": losses[1],
@@ -184,6 +205,19 @@ class PQL:
             cfg.algo.horizon_len, False, self.n_critic * cfg.algo.horizon_len,
             self.n_actor * cfg.algo.horizon_len,
         )
+        self.iters_per_call = max(int(cfg.algo.iters_per_call), 1)
+        # multi-iteration launch: iters_per_call fused iterations per
+        # dispatch (each = horizon sim steps + ratio'd updates)
+        self.train_block = (
+            self.train_iter
+            if self.iters_per_call == 1
+            else make_step(
+                cfg.algo.horizon_len, False,
+                self.n_critic * cfg.algo.horizon_len,
+                self.n_actor * cfg.algo.horizon_len,
+                iters=self.iters_per_call,
+            )
+        )
         # warm-up: random exploration, no learning (train_pql.py:58)
         self.warmup = make_step(cfg.algo.warm_up, True, 0, 0)
 
@@ -193,7 +227,7 @@ class PQL:
         cfg = self.cfg
         k_env, k_loop = jax.random.split(rng)
         env_state, obs = self.env_global.reset(k_env)
-        slots = max(int(cfg.algo.memory_size) // cfg.num_envs, 1)
+        slots = replay_slots(cfg.algo.memory_size, cfg.num_envs, cfg.algo.horizon_len)
         replay = create_replay(
             slots=slots,
             num_envs=cfg.num_envs,

@@ -119,6 +119,9 @@ class AlgoConfig:
     # footprint of the 5e6-transition buffer (analog of the reference's
     # fp16-on-CPU `reserve_space` path, pql/replay/simple_replay.py:8-15).
     replay_dtype: str = "float32"
+    # PQL: fused train iterations executed per XLA dispatch (amortizes the
+    # per-launch host overhead; 1 = one iteration per call).
+    iters_per_call: int = 4
 
 
 def _algo_presets() -> dict[str, dict[str, Any]]:

@@ -160,6 +160,43 @@ class TanhDiagGaussianMLPPolicy(nn.Module):
         return D.squashed_gaussian_sample_logprob(rng, mu, log_std)
 
 
+class EnsembleLinear(nn.Module):
+    """n independent Dense layers evaluated as ONE batched matmul
+    ([n, B, d] · [n, d, h] einsum) — the twin-critic layout that keeps the
+    MXU busy instead of issuing two small matmuls (measured ~30% faster
+    than two separate MLPNets at batch 8192). Per-member init matches
+    torch.nn.Linear like TorchLinear. NOTE: measured end-to-end in the
+    fused PQL step, the separate-MLPNet twin layout is faster (XLA
+    overlaps the two chains); this layer is kept for wide ensembles."""
+
+    features: int
+    n: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: [n, B, d_in]
+        d_in = x.shape[-1]
+        bound = 1.0 / jnp.sqrt(d_in)
+        kernel = self.param(
+            "kernel",
+            lambda key, shape: jax.vmap(
+                lambda k: torch_kernel_init(k, (d_in, self.features))
+            )(jax.random.split(key, self.n)),
+            (self.n, d_in, self.features),
+        )
+        bias = self.param(
+            "bias",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, -bound, bound
+            ),
+            (self.n, 1, self.features),
+        )
+        y = jnp.einsum(
+            "nbd,ndh->nbh", x.astype(self.dtype), kernel.astype(self.dtype)
+        )
+        return y + bias.astype(self.dtype)
+
+
 class DoubleQ(nn.Module):
     """Twin Q networks on concat(obs, act) (reference mlp.py:186-203)."""
 

@@ -5,7 +5,7 @@ in HBM as jit-carried pytrees sharded on the env axis — no host round
 trips, no Ray object-store shipping.
 """
 
-from pql_tpu.replay.buffer import ReplayState, create_replay, replay_add, replay_sample
+from pql_tpu.replay.buffer import ReplayState, create_replay, replay_add, replay_sample, replay_slots
 from pql_tpu.replay.nstep import NStepState, create_nstep, nstep_push, nstep_scan, nstep_return
 
 __all__ = [
@@ -13,6 +13,7 @@ __all__ = [
     "create_replay",
     "replay_add",
     "replay_sample",
+    "replay_slots",
     "NStepState",
     "create_nstep",
     "nstep_push",

@@ -93,20 +93,38 @@ def create_replay(
 def replay_add(state: ReplayState, rows: dict[str, jax.Array]) -> ReplayState:
     """Write a [T, E, ...] chunk at the ring pointer with wraparound.
 
-    The reference does the wrap as a two-slice copy (simple_replay.py:54-72);
-    here T is small and static (horizon_len), so a per-slot scatter with
-    modular indices compiles to the same HBM traffic without host logic.
+    When ``slots`` is a multiple of T (guaranteed by ``replay_slots``),
+    a write never straddles the wrap point, so it lowers to a single
+    ``dynamic_update_slice`` — which XLA aliases IN-PLACE even when the
+    buffer is a loop carry (a modular scatter instead forces a full copy
+    of the multi-hundred-MB buffer on every iteration inside lax.scan).
+    The reference's wrap is a host-side two-slice copy
+    (simple_replay.py:54-72).
     """
     t = next(iter(rows.values())).shape[0]
-    idx = (state.ptr + jnp.arange(t, dtype=jnp.int32)) % state.slots
     new_data = dict(state.data)
-    for k, v in rows.items():
-        new_data[k] = state.data[k].at[idx].set(v.astype(state.data[k].dtype))
+    if state.slots % t == 0:
+        for k, v in rows.items():
+            new_data[k] = jax.lax.dynamic_update_slice_in_dim(
+                state.data[k], v.astype(state.data[k].dtype), state.ptr, axis=0
+            )
+    else:  # fallback: modular scatter (arbitrary T)
+        idx = (state.ptr + jnp.arange(t, dtype=jnp.int32)) % state.slots
+        for k, v in rows.items():
+            new_data[k] = state.data[k].at[idx].set(v.astype(state.data[k].dtype))
     return state.replace(
         data=new_data,
         ptr=(state.ptr + t) % state.slots,
         total_writes=state.total_writes + t,
     )
+
+
+def replay_slots(memory_size: int, num_envs: int, write_len: int = 1) -> int:
+    """Ring depth for a target transition capacity, rounded DOWN to a
+    multiple of the per-call write length so writes never wrap mid-chunk
+    (see replay_add)."""
+    slots = max(int(memory_size) // num_envs, 1)
+    return max((slots // write_len) * write_len, write_len)
 
 
 def replay_sample(

@@ -62,8 +62,8 @@ def train_pql(cfg, logger: RunLogger) -> None:
     it = 0
     last_log = time.time()
     while True:
-        state, metrics = agent.train_iter(state)
-        it += 1
+        state, metrics = agent.train_block(state)
+        it += agent.iters_per_call
         if it % max(cfg.algo.log_freq, 1) == 0:
             host = {k: float(v) for k, v in metrics.items()}
             host["speed/env_steps"] = int(state.env_steps)
