@@ -46,6 +46,7 @@ from pql_tpu.envs import make_task
 from pql_tpu.envs.base import VecEnv, handle_timeout
 from pql_tpu.ops import RunningMeanStd, add_mixed_normal_noise, add_normal_noise, soft_update
 from pql_tpu.ops.distributional import binary_cross_entropy, categorical_td_target
+from pql_tpu.ops.pallas import categorical_td_target_pallas
 from pql_tpu.parallel import make_mesh, state_pspecs
 from pql_tpu.replay import (
     create_nstep,
@@ -362,7 +363,15 @@ class PQL:
             )
             if cfg.algo.distl:
                 p1_t, p2_t = self.critic.apply(state.critic_target, next_obs_n, next_actions)
-                target = categorical_td_target(
+                # Pallas kernel on TPU keeps the [B, A, A] hat-weight
+                # tensor out of HBM (pql_tpu.ops.pallas); dense math
+                # elsewhere — both property-tested identical
+                project = (
+                    categorical_td_target_pallas
+                    if cfg.algo.use_pallas and jax.default_backend() == "tpu"
+                    else categorical_td_target
+                )
+                target = project(
                     p1_t, p2_t, batch["reward"], batch["done"], gamma_n,
                     cfg.algo.v_min, cfg.algo.v_max,
                 )

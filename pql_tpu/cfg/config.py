@@ -122,6 +122,8 @@ class AlgoConfig:
     # PQL: fused train iterations executed per XLA dispatch (amortizes the
     # per-launch host overhead; 1 = one iteration per call).
     iters_per_call: int = 4
+    # Use the Pallas TPU kernel for the C51 target projection (PQL-D).
+    use_pallas: bool = True
 
 
 def _algo_presets() -> dict[str, dict[str, Any]]:

@@ -165,3 +165,52 @@ class TestSoftUpdate:
         out = soft_update(tgt, src, 0.05)
         np.testing.assert_allclose(np.asarray(out["w"]), 0.05)
         np.testing.assert_allclose(np.asarray(out["b"]), 0.95)
+
+
+class TestPallasProjection:
+    """Pallas C51 projection kernel vs the dense formulation (and thereby
+    vs the reference scatter semantics, distl_util.py:4-20)."""
+
+    def test_matches_dense(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from pql_tpu.ops.distributional import categorical_projection
+        from pql_tpu.ops.pallas import categorical_projection_pallas
+
+        B, A = 300, 51  # non-multiple of the tile to exercise padding
+        k1, k2, k3 = jax.random.split(rng, 3)
+        p = jax.nn.softmax(jax.random.normal(k1, (B, A)), -1)
+        rew = 3.0 * jax.random.normal(k2, (B, 1))
+        done = (jax.random.uniform(k3, (B, 1)) < 0.3).astype(jnp.float32)
+        o1 = categorical_projection(p, rew, done, 0.95)
+        o2 = categorical_projection_pallas(p, rew, done, 0.95, tile=128)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+    def test_mass_conserved(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from pql_tpu.ops.pallas import categorical_projection_pallas
+
+        p = jax.nn.softmax(jax.random.normal(rng, (64, 51)), -1)
+        out = categorical_projection_pallas(
+            p, jnp.zeros((64, 1)), jnp.zeros((64, 1)), 0.99
+        )
+        np.testing.assert_allclose(np.asarray(out.sum(-1)), 1.0, atol=1e-5)
+
+    def test_td_target_min(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from pql_tpu.ops.distributional import categorical_td_target
+        from pql_tpu.ops.pallas import categorical_td_target_pallas
+
+        k1, k2 = jax.random.split(rng)
+        p1 = jax.nn.softmax(jax.random.normal(k1, (32, 51)), -1)
+        p2 = jax.nn.softmax(jax.random.normal(k2, (32, 51)), -1)
+        rew = jnp.ones((32, 1))
+        done = jnp.zeros((32, 1))
+        o1 = categorical_td_target(p1, p2, rew, done, 0.97, -10.0, 10.0)
+        o2 = categorical_td_target_pallas(p1, p2, rew, done, 0.97, -10.0, 10.0)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
