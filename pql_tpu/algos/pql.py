@@ -127,6 +127,18 @@ class PQL:
             self._critic_opt0,
         ) = base.init_actor_critic(cfg, self.env_global, jax.random.PRNGKey(cfg.seed))
 
+        # Flat-parameter hot path: AdamW + grad-clip + polyak over ~30 small
+        # param leaves cost ~0.35 ms of tiny-op overhead PER UPDATE on TPU;
+        # raveling actor/critic params into single contiguous vectors makes
+        # the whole optimizer/target chain a handful of fused wide ops.
+        # Networks unravel on the fly inside the loss (reshapes are free).
+        from jax.flatten_util import ravel_pytree
+
+        self._actor_flat0, self._unravel_a = ravel_pytree(self._actor_params0)
+        self._critic_flat0, self._unravel_c = ravel_pytree(self._critic_params0)
+        self._actor_opt0 = self.actor_tx.init(self._actor_flat0)
+        self._critic_opt0 = self.critic_tx.init(self._critic_flat0)
+
         # does the task report a success signal? (info-tracking parity with
         # reference update_tracker, pql_actor.py:139-147)
         probe = jax.eval_shape(
@@ -239,11 +251,11 @@ class PQL:
         )
         tracker_len = cfg.algo.tracker_len
         return PQLState(
-            actor_params=self._actor_params0,
+            actor_params=self._actor_flat0,
             actor_opt=self._actor_opt0,
-            critic_params=self._critic_params0,
+            critic_params=self._critic_flat0,
             critic_opt=self._critic_opt0,
-            critic_target=self._critic_params0,
+            critic_target=self._critic_flat0,
             obs_rms=RunningMeanStd.create((self.obs_dim,)),
             env_state=env_state,
             obs=obs,
@@ -290,7 +302,7 @@ class PQL:
             elif cfg.algo.noise.type == "mixed":
                 action = add_mixed_normal_noise(
                     k_n,
-                    self.actor.apply(state.actor_params, obs_n),
+                    self.actor.apply(self._unravel_a(state.actor_params), obs_n),
                     cfg.algo.noise.std_min,
                     cfg.algo.noise.std_max,
                     out_bounds=(-1.0, 1.0),
@@ -300,7 +312,7 @@ class PQL:
             else:
                 action = add_normal_noise(
                     k_n,
-                    self.actor.apply(state.actor_params, obs_n),
+                    self.actor.apply(self._unravel_a(state.actor_params), obs_n),
                     cfg.algo.noise.std_max,
                     out_bounds=(-1.0, 1.0),
                 )
@@ -359,10 +371,12 @@ class PQL:
             # target-policy smoothing with the *current* actor — PQL ships
             # the live actor, no target actor (pql_v_learner.py:62-71)
             next_actions = base.target_policy_actions(
-                cfg, self.actor, state.actor_params, next_obs_n, k_tgt
+                cfg, self.actor, self._unravel_a(state.actor_params), next_obs_n, k_tgt
             )
             if cfg.algo.distl:
-                p1_t, p2_t = self.critic.apply(state.critic_target, next_obs_n, next_actions)
+                p1_t, p2_t = self.critic.apply(
+                    self._unravel_c(state.critic_target), next_obs_n, next_actions
+                )
                 # Pallas kernel on TPU keeps the [B, A, A] hat-weight
                 # tensor out of HBM (pql_tpu.ops.pallas); dense math
                 # elsewhere — both property-tested identical
@@ -376,15 +390,20 @@ class PQL:
                     cfg.algo.v_min, cfg.algo.v_max,
                 )
                 target = jax.lax.stop_gradient(target)
-                p1, p2 = self.critic.apply(critic_params, obs_n, batch["action"])
+                p1, p2 = self.critic.apply(
+                    self._unravel_c(critic_params), obs_n, batch["action"]
+                )
                 loss = binary_cross_entropy(p1, target) + binary_cross_entropy(p2, target)
             else:
                 q_next = self.critic.apply(
-                    state.critic_target, next_obs_n, next_actions, method=type(self.critic).q_min
+                    self._unravel_c(state.critic_target), next_obs_n, next_actions,
+                    method=type(self.critic).q_min,
                 )
                 target = batch["reward"] + (1.0 - batch["done"]) * gamma_n * q_next
                 target = jax.lax.stop_gradient(target)
-                q1, q2 = self.critic.apply(critic_params, obs_n, batch["action"])
+                q1, q2 = self.critic.apply(
+                    self._unravel_c(critic_params), obs_n, batch["action"]
+                )
                 loss = jnp.mean(jnp.square(q1 - target)) + jnp.mean(jnp.square(q2 - target))
             return loss
 
@@ -419,10 +438,10 @@ class PQL:
 
         # ---------------- actor phase (pql_p_learner.learn, :47-64) -------
         def actor_loss_fn(actor_params, obs_n):
-            action = self.actor.apply(actor_params, obs_n)
+            action = self.actor.apply(self._unravel_a(actor_params), obs_n)
             q = self.critic.apply(
-                jax.lax.stop_gradient(state.critic_params), obs_n, action,
-                method=type(self.critic).q_min,
+                self._unravel_c(jax.lax.stop_gradient(state.critic_params)),
+                obs_n, action, method=type(self.critic).q_min,
             )
             return -jnp.mean(q)
 
@@ -473,4 +492,5 @@ class PQL:
     # ---------------------------------------------------------- eval hook
 
     def eval_actor_apply(self, params, obs_n):
-        return self.actor.apply(params, obs_n)
+        # state.actor_params is the raveled flat vector (see __init__)
+        return self.actor.apply(self._unravel_a(params), obs_n)
