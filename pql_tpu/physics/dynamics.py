@@ -160,6 +160,48 @@ def actuation(model: RigidBodyModel, action: jax.Array) -> jax.Array:
     return tau
 
 
+def spd_solve(M: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve M x = b for SPD M via an UNROLLED Cholesky factorization.
+
+    nv is small and static (≤ ~22), so the factorization unrolls at trace
+    time into pure scalar/vector jnp ops. This matters on TPU:
+    ``jnp.linalg.solve`` lowers to a batched LU that degrades
+    catastrophically inside ``shard_map`` (measured 124 ms vs 0.08 ms for
+    the whole Ant step at 4096 envs — the solve serializes); the unrolled
+    form vmaps and shard_maps as ordinary elementwise math. M is SPD by
+    construction (CRBA mass matrix + armature diagonal).
+    """
+    n = M.shape[-1]
+    # Cholesky: L (lower) with M = L Lᵀ, unrolled over static indices
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        s = M[..., i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv = 1.0 / L[i][i]
+        for j in range(i + 1, n):
+            s = M[..., j, i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s * inv
+    # forward substitution L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution Lᵀ x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def fd_step(model: RigidBodyModel, q, qd, action, f_ext_world):
     """One semi-implicit Euler step of forward dynamics.
 
@@ -172,7 +214,7 @@ def fd_step(model: RigidBodyModel, q, qd, action, f_ext_world):
     M = mass_matrix(model, Xup, S)
     C = bias_forces(model, Xup, S, v, qd, f_ext_world, R_wb, p_wb)
     tau = actuation(model, action) + _limit_torque(model, q)
-    qdd = jnp.linalg.solve(M, tau - C)
+    qdd = spd_solve(M, tau - C)
 
     qd_new = jnp.clip(qd + model.dt * qdd, -model.max_dof_speed, model.max_dof_speed)
     q_new = q
