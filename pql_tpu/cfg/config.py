@@ -253,6 +253,11 @@ class Config:
     checkpoint_dir: str | None = None
     checkpoint_freq: int = 0  # in outer iterations; 0 = only best-eval saves
 
+    # jax.profiler trace output dir (None = off); the TPU analog of the
+    # reference's hand-rolled rate-measurement telemetry (SURVEY §5)
+    profile_dir: str | None = None
+    profile_iters: int = 20  # iterations to capture after warm-up
+
 
 # --------------------------------------------------------------------------
 # per-task preset tables (reference pql/utils/common.py:148-182, 246-275)

@@ -43,6 +43,32 @@ from pql_tpu.utils.evaluator import Evaluator
 from pql_tpu.utils.logging import RunLogger
 
 
+
+
+class _ProfilerHook:
+    """Capture a jax.profiler trace for cfg.profile_iters iterations after
+    warm-up (cfg.profile_dir) — the observability analog of the reference's
+    rate-measurement window (train_pql.py:78-86)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.active = False
+        self.count = 0
+
+    def tick(self, it: int) -> None:
+        if not self.cfg.profile_dir:
+            return
+        if not self.active and it >= 2:
+            jax.profiler.start_trace(self.cfg.profile_dir)
+            self.active = True
+        elif self.active:
+            self.count += 1
+            if self.count >= self.cfg.profile_iters:
+                jax.profiler.stop_trace()
+                self.cfg.profile_dir = None  # one capture per run
+                self.active = False
+
+
 def train_pql(cfg, logger: RunLogger) -> None:
     """Fused SPMD PQL loop (reference scripts/train_pql.py:28-187, minus
     Ray/process plumbing — the trio is one jitted step)."""
@@ -61,9 +87,11 @@ def train_pql(cfg, logger: RunLogger) -> None:
     best_ret = float("-inf")
     it = 0
     last_log = time.time()
+    profiler = _ProfilerHook(cfg)
     while True:
         state, metrics = agent.train_block(state)
         it += agent.iters_per_call
+        profiler.tick(it)
         if it % max(cfg.algo.log_freq, 1) == 0:
             host = {k: float(v) for k, v in metrics.items()}
             host["speed/env_steps"] = int(state.env_steps)
@@ -124,9 +152,11 @@ def train_baseline(cfg, logger: RunLogger) -> None:
     best_ret = float("-inf")
     it = 0
     last_log = time.time()
+    profiler = _ProfilerHook(cfg)
     while True:
         state, metrics = agent.train_iter(state)
         it += 1
+        profiler.tick(it)
         if it % max(cfg.algo.log_freq, 1) == 0:
             host = {k: float(v) for k, v in metrics.items()}
             now = time.time()

@@ -72,3 +72,48 @@ class TestVecEnv:
         state, obs = env.reset(rng)
         _, _, _, _, info = env.step(state, jnp.zeros((4, 2)), rng)
         assert "success" in info and info["success"].shape == (4,)
+
+
+class TestWrappers:
+    def test_flat_ob_task(self, rng):
+        """FlatObTask flattens dict observations (reference
+        pql/wrappers/flatten_ob.py semantics)."""
+        import jax.numpy as jnp
+        from pql_tpu.envs import VecEnv, make_task
+        from pql_tpu.envs.wrappers import FlatObTask
+
+        base = make_task("PointMass")
+
+        class DictTask:
+            action_dim = base.action_dim
+            max_episode_length = base.max_episode_length
+
+            def init_state(self, rng):
+                return base.init_state(rng)
+
+            def get_obs(self, state):
+                flat = base.get_obs(state)
+                return {"a": flat[:2], "b": flat[2:]}
+
+            def dynamics(self, state, action, rng):
+                return base.dynamics(state, action, rng)
+
+        task = FlatObTask(DictTask())
+        assert task.obs_dim == base.obs_dim
+        env = VecEnv(task, 4)
+        s, obs = env.reset(rng)
+        assert obs.shape == (4, base.obs_dim)
+        s, obs2, r, d, info = env.step(s, jnp.zeros((4, task.action_dim)), rng)
+        assert obs2.shape == (4, base.obs_dim)
+
+    def test_clip_action_task(self, rng):
+        import jax.numpy as jnp
+        import numpy as np
+        from pql_tpu.envs import make_task
+        from pql_tpu.envs.wrappers import ClipActionTask
+
+        task = ClipActionTask(make_task("Pendulum"))
+        s = task.init_state(rng)
+        ns1, r1, *_ = task.dynamics(s, jnp.array([10.0]), rng)
+        ns2, r2, *_ = task.dynamics(s, jnp.array([1.0]), rng)
+        np.testing.assert_allclose(r1, r2)
