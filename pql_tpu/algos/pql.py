@@ -410,7 +410,9 @@ class PQL:
         def critic_update(c, k):
             critic_params, critic_opt, critic_target = c
             k_s, k_t = jax.random.split(jax.random.fold_in(k, ax))
-            batch = replay_sample(replay, k_s, self.batch_local)
+            batch = replay_sample(
+                replay, k_s, self.batch_local, sample_slots=cfg.algo.sample_slots
+            )
             loss, grads = jax.value_and_grad(critic_loss_fn)(critic_params, batch, k_t)
             grads = jax.lax.pmean(grads, self.axis)
             loss = jax.lax.pmean(loss, self.axis)
@@ -448,7 +450,10 @@ class PQL:
         def actor_update(c, k):
             actor_params, actor_opt = c
             k_s = jax.random.fold_in(k, ax)
-            batch = replay_sample(replay, k_s, self.batch_local, fields=("obs",))
+            batch = replay_sample(
+                replay, k_s, self.batch_local, fields=("obs",),
+                sample_slots=cfg.algo.sample_slots,
+            )
             obs_n = obs_rms.normalize_clip(batch["obs"]) if cfg.algo.obs_norm else batch["obs"]
             loss, grads = jax.value_and_grad(actor_loss_fn)(actor_params, obs_n)
             grads = jax.lax.pmean(grads, self.axis)

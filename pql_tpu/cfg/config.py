@@ -124,6 +124,10 @@ class AlgoConfig:
     iters_per_call: int = 4
     # Use the Pallas TPU kernel for the C51 target projection (PQL-D).
     use_pallas: bool = True
+    # Replay sampling: 0 = independent (slot, env) pairs (reference
+    # semantics); n > 0 = slot-stratified over n slots per batch (same
+    # uniform marginals, sequential HBM reads — see replay_sample).
+    sample_slots: int = 32
 
 
 def _algo_presets() -> dict[str, dict[str, Any]]:

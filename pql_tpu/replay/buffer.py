@@ -132,17 +132,40 @@ def replay_sample(
     rng: jax.Array,
     batch_size: int,
     fields: tuple[str, ...] = ("obs", "action", "reward", "next_obs", "done"),
+    sample_slots: int = 0,
 ) -> dict[str, jax.Array]:
     """Uniform sample of batch_size transitions (simple_replay.py:85-104).
 
-    Samples (slot, env) pairs over the valid region. On a sharded buffer
-    this is called per-shard with batch_size // num_shards — statistically
-    identical to a global uniform sample because env shards are iid.
+    sample_slots == 0: independent (slot, env) pairs — the reference's
+    exact scheme, but on TPU 8192 scattered ~100-byte reads from a
+    multi-GB HBM buffer are latency-bound (~7 ms/iter at the PQL ratios).
+
+    sample_slots == n > 0: slot-stratified — draw n random slots, read
+    each slot's whole [E, dim] row SEQUENTIALLY, then pick batch/n random
+    envs within each row. Every (slot, env) pair keeps the same uniform
+    marginal probability; the only statistical difference is within-batch
+    slot correlation (n distinct timesteps instead of ~batch), which the
+    8192-sized PQL batches absorb. Trades scattered reads for streaming
+    bandwidth — the TPU-idiomatic layout of the same sample.
+
+    On a sharded buffer this is called per-shard with a per-shard batch —
+    statistically identical to a global sample because env shards are iid.
     """
     num_envs = state.data["obs"].shape[1]
-    k_slot, k_env = jax.random.split(rng)
     lo = state.valid_start
     span = jnp.maximum(state.filled - lo, 1)
+    if sample_slots and batch_size % sample_slots == 0:
+        per = batch_size // sample_slots
+        k_slot, k_env = jax.random.split(rng)
+        slots = lo + (jax.random.randint(k_slot, (sample_slots,), 0, 1 << 30) % span)
+        env_idx = jax.random.randint(k_env, (sample_slots, per), 0, num_envs)
+        out = {}
+        for k in fields:
+            rows = state.data[k][slots]  # [n, E, d] — contiguous slabs
+            v = jnp.take_along_axis(rows, env_idx[..., None], axis=1)
+            out[k] = v.reshape(batch_size, -1).astype(jnp.float32)
+        return out
+    k_slot, k_env = jax.random.split(rng)
     slot_idx = lo + (jax.random.randint(k_slot, (batch_size,), 0, 1 << 30) % span)
     env_idx = jax.random.randint(k_env, (batch_size,), 0, num_envs)
     out = {}

@@ -183,3 +183,60 @@ class TestNStep:
         assert bool(valids.all())  # pushes 3 and 4 both emit
         # gamma=1, no dones: reward = 3 (sum of window)
         np.testing.assert_allclose(np.asarray(outs["reward"]), 3.0)
+
+
+class TestStratifiedSampling:
+    def test_shapes_and_validity(self, rng):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from pql_tpu.replay import create_replay, replay_add, replay_sample
+
+        r = create_replay(slots=16, num_envs=8, obs_dim=3, action_dim=2)
+        chunk = {
+            "obs": jnp.arange(16 * 8 * 3, dtype=jnp.float32).reshape(16, 8, 3),
+            "action": jnp.zeros((16, 8, 2)),
+            "reward": jnp.ones((16, 8, 1)),
+            "next_obs": jnp.zeros((16, 8, 3)),
+            "done": jnp.zeros((16, 8, 1)),
+        }
+        r = replay_add(r, chunk)
+        batch = replay_sample(r, rng, 32, sample_slots=4)
+        assert batch["obs"].shape == (32, 3)
+        # every sampled obs row must be one of the written rows
+        written = np.asarray(chunk["obs"]).reshape(-1, 3)
+        for row in np.asarray(batch["obs"]):
+            assert any(np.array_equal(row, w) for w in written)
+
+    def test_uniform_marginals(self, rng):
+        """Slot-stratified sampling keeps uniform (slot, env) marginals."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from pql_tpu.replay import create_replay, replay_add, replay_sample
+
+        S, E = 8, 4
+        r = create_replay(slots=S, num_envs=E, obs_dim=1, action_dim=1)
+        ids = jnp.arange(S * E, dtype=jnp.float32).reshape(S, E, 1)
+        r = replay_add(r, {
+            "obs": ids, "action": jnp.zeros((S, E, 1)),
+            "reward": jnp.zeros((S, E, 1)), "next_obs": jnp.zeros((S, E, 1)),
+            "done": jnp.zeros((S, E, 1)),
+        })
+        counts = np.zeros(S * E)
+        for i in range(400):
+            b = replay_sample(r, jax.random.PRNGKey(i), 8, sample_slots=2)
+            for v in np.asarray(b["obs"][:, 0]).astype(int):
+                counts[v] += 1
+        freq = counts / counts.sum()
+        # each of the 32 cells should be ~1/32 (loose 3x bound)
+        assert freq.max() < 3.0 / (S * E) and freq.min() > 1.0 / (3 * S * E)
+
+    def test_fallback_when_not_divisible(self, rng):
+        from pql_tpu.replay import create_replay, replay_sample
+        import jax.numpy as jnp
+
+        r = create_replay(slots=4, num_envs=4, obs_dim=2, action_dim=1)
+        # batch 10 not divisible by 4 slots -> falls back to independent pairs
+        b = replay_sample(r, rng, 10, sample_slots=4)
+        assert b["obs"].shape == (10, 2)
