@@ -36,9 +36,6 @@ def main() -> None:
         # fp32) and 16 fused iterations per dispatch
         algo__compute_dtype="bfloat16",
         algo__iters_per_call=16,
-        # independent-pair sampling wins for tiny rows (Cartpole obs=4);
-        # slot-stratified (the default) wins for rigid-body obs sizes
-        algo__sample_slots=0,
     )
     agent = PQL(cfg)
     state = agent.init(jax.random.PRNGKey(cfg.seed))

@@ -427,6 +427,7 @@ class PQL:
                 critic_update,
                 (state.critic_params, state.critic_opt, state.critic_target),
                 keys,
+                unroll=True,
             )
             critic_loss = jnp.mean(c_losses)
             state = state.replace(
@@ -465,7 +466,8 @@ class PQL:
         if n_actor > 0:
             keys = jax.random.split(k_act, n_actor)
             (actor_params, actor_opt), a_losses = jax.lax.scan(
-                actor_update, (state.actor_params, state.actor_opt), keys
+                actor_update, (state.actor_params, state.actor_opt), keys,
+                unroll=True,
             )
             actor_loss = jnp.mean(a_losses)
             state = state.replace(

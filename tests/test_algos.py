@@ -98,7 +98,7 @@ class TestPQLFused:
             state, _ = agent.train_iter(state)
         # replay now contains policy actions; actions from high-index envs
         # should have higher dispersion around tanh outputs
-        acts = np.asarray(state.replay.data["action"][4:7])  # post-warmup slots
+        acts = np.asarray(state.replay.field("action")[4:7])  # post-warmup slots
         lo = acts[:, :4].std()
         hi = acts[:, -4:].std()
         assert hi > lo

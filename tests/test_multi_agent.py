@@ -253,7 +253,7 @@ class TestIDDPG:
         cfg = ma_cfg("iddpg", algo__horizon_len=1)
         agent = IDDPG(cfg, make_env(cfg))
         state = agent.init(rng)
-        assert state.replay.data["reward"].shape[-1] == 2
+        assert state.replay.field("reward").shape[-1] == 2
         state, _ = agent.warmup(state)
         # after warm-up, stored rewards are populated with distinct channels
         assert state.replay.total_writes > 0

@@ -31,7 +31,7 @@ class TestReplayRing:
         buf = replay_add(buf, rows)
         assert int(buf.ptr) == 2
         assert int(buf.filled) == 2
-        np.testing.assert_allclose(np.asarray(buf.data["obs"][:2]), np.asarray(rows["obs"]))
+        np.testing.assert_allclose(np.asarray(buf.field("obs")[:2]), np.asarray(rows["obs"]))
 
     def test_wraparound(self):
         buf = create_replay(slots=4, num_envs=2, obs_dim=1, action_dim=1)
@@ -48,7 +48,7 @@ class TestReplayRing:
         assert int(buf.filled) == 4
         # ring holds [4, 5, 2, 3]
         np.testing.assert_allclose(
-            np.asarray(buf.data["obs"][:, 0, 0]), np.array([4.0, 5.0, 2.0, 3.0])
+            np.asarray(buf.field("obs")[:, 0, 0]), np.array([4.0, 5.0, 2.0, 3.0])
         )
 
     def test_valid_start_excludes_garbage_prefix(self, rng):
