@@ -23,6 +23,10 @@ import jax
 from pql_tpu.algos.pql import PQL
 from pql_tpu.cfg import make_config
 
+from pql_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 NORTH_STAR_STEPS_PER_S = 5_000_000.0
 
 

@@ -19,8 +19,21 @@ import jax
 import jax.numpy as jnp
 
 from pql_tpu.physics import FREE, Geom, HINGE, RigidBodyModel
-from pql_tpu.physics.contact import box_ground_contacts, ground_contacts, sphere_box_contacts
-from pql_tpu.physics.dynamics import body_velocities, fd_step, fwd_kinematics
+from pql_tpu.physics.contact import (
+    add_fext_s,
+    box_ground_contacts,
+    box_ground_contacts_s,
+    ground_contacts,
+    ground_contacts_s,
+    sphere_box_contacts,
+    sphere_box_contacts_s,
+)
+from pql_tpu.physics.dynamics import (
+    body_velocities,
+    fd_step,
+    fwd_kinematics,
+    physics_step,
+)
 from pql_tpu.physics.spatial import quat_inv, quat_mul
 
 CUBE_HALF = 0.035
@@ -191,23 +204,19 @@ class AllegroHand:
             ]
         )
 
-    def _forces(self, q, qd):
-        m = self.model
-        R_wb, p_wb, Xup, S = fwd_kinematics(m, q)
-        v = jnp.stack(body_velocities(m, Xup, S, qd))
-        half = jnp.full(3, CUBE_HALF)
-        f1, _ = ground_contacts(m, R_wb, p_wb, v)
-        f2, _ = sphere_box_contacts(m, R_wb, p_wb, v, self.cube, half)
-        f3 = box_ground_contacts(m, R_wb, p_wb, v, self.cube, half)
-        return f1 + f2 + f3
+    def _contact_fn(self, m, R_wb, p_wb, v):
+        half = [CUBE_HALF] * 3
+        f1, _ = ground_contacts_s(m, R_wb, p_wb, v)
+        f2, _ = sphere_box_contacts_s(m, R_wb, p_wb, v, self.cube, half)
+        f3 = box_ground_contacts_s(m, R_wb, p_wb, v, self.cube, half)
+        return add_fext_s(f1, f2, f3)
 
     def dynamics(self, state, action, rng):
         m = self.model
 
         def substep(carry, _):
             q, qd = carry
-            f_ext = self._forces(q, qd)
-            q, qd, _ = fd_step(m, q, qd, action, f_ext)
+            q, qd = physics_step(m, q, qd, action, contact_fn=self._contact_fn)
             return (q, qd), None
 
         (q, qd), _ = jax.lax.scan(substep, (state["q"], state["qd"]), None, length=self.substeps)

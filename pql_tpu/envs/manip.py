@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from pql_tpu.physics import FREE, Geom, HINGE, RigidBodyModel
-from pql_tpu.physics.dynamics import fd_step, fwd_kinematics
+from pql_tpu.physics.dynamics import fd_step, fwd_kinematics, physics_step
 
 CUBE_A_HALF = 0.025
 CUBE_B_HALF = 0.035
@@ -146,8 +146,7 @@ class FrankaCubeStack:
 
         def substep(carry, _):
             q, qd = carry
-            f_ext = jnp.zeros((m.nb, 6))
-            q, qd, _ = fd_step(m, q, qd, arm_action, f_ext)
+            q, qd = physics_step(m, q, qd, arm_action, contact_fn=None)
             return (q, qd), None
 
         (q, qd), _ = jax.lax.scan(

@@ -18,8 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from pql_tpu.physics import FREE, Geom, HINGE, RigidBodyModel
-from pql_tpu.physics.contact import ground_contacts
-from pql_tpu.physics.dynamics import body_velocities, fd_step, fwd_kinematics
+from pql_tpu.physics.contact import ground_contacts, ground_contacts_s
+from pql_tpu.physics.dynamics import (
+    body_velocities,
+    fd_step,
+    fwd_kinematics,
+    physics_step,
+)
 from pql_tpu.physics.spatial import quat_rotate
 
 
@@ -171,10 +176,10 @@ class Ant:
 
         def substep(carry, _):
             q, qd = carry
-            R_wb, p_wb, Xup, S = fwd_kinematics(m, q)
-            v = jnp.stack(body_velocities(m, Xup, S, qd))
-            f_ext, _ = ground_contacts(m, R_wb, p_wb, v)
-            q, qd, _ = fd_step(m, q, qd, action, f_ext)
+            q, qd = physics_step(
+                m, q, qd, action,
+                contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+            )
             return (q, qd), None
 
         (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=self.substeps)
@@ -349,10 +354,10 @@ class Humanoid:
 
         def substep(carry, _):
             q, qd = carry
-            R_wb, p_wb, Xup, S = fwd_kinematics(m, q)
-            v = jnp.stack(body_velocities(m, Xup, S, qd))
-            f_ext, _ = ground_contacts(m, R_wb, p_wb, v)
-            q, qd, _ = fd_step(m, q, qd, action, f_ext)
+            q, qd = physics_step(
+                m, q, qd, action,
+                contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+            )
             return (q, qd), None
 
         (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=self.substeps)
@@ -513,10 +518,10 @@ class Anymal:
 
         def substep(carry, _):
             q, qd = carry
-            R_wb, p_wb, Xup, S = fwd_kinematics(m, q)
-            v = jnp.stack(body_velocities(m, Xup, S, qd))
-            f_ext, _ = ground_contacts(m, R_wb, p_wb, v)
-            q, qd, _ = fd_step(m, q, qd, action, f_ext)
+            q, qd = physics_step(
+                m, q, qd, action,
+                contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+            )
             return (q, qd), None
 
         (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=self.substeps)

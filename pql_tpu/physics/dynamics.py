@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from pql_tpu.physics import scalar_algebra as sa
 from pql_tpu.physics import spatial as sp
 from pql_tpu.physics.model import FREE, HINGE, RigidBodyModel
 
@@ -202,32 +203,278 @@ def spd_solve(M: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack(x, axis=-1)
 
 
+# =====================================================================
+# Scalar-unrolled hot path
+#
+# The matrix functions above are the readable reference implementation
+# (kept for tests and one-shot obs construction). The training hot path
+# uses the scalar-unrolled core below: every small matrix/vector is a
+# nested Python list of per-env scalars (pql_tpu.physics.scalar_algebra).
+# Under vmap each scalar is a [B]-vector, so no [B,3,3]/[B,6,6]
+# intermediates ever materialize — on TPU those get padded to the
+# 128-lane minor dimension (~21x bytes for a 6-wide axis) and were
+# profiled at ~1.8 ms/iter of pure bandwidth waste inside the fused PQL
+# step. The scalar form also computes kinematics ONCE per substep for
+# both contacts and dynamics (the matrix path recomputed it).
+# =====================================================================
+
+
+def _kin_s(model: RigidBodyModel, q):
+    """Scalar kinematics. Returns (R_wb, p_wb, Xup, S_axis): per-body
+    rotation m33 / position v3 lists, factored transforms (E, r), and the
+    hinge axis (python floats) or None for a free joint."""
+    R_wb, p_wb, Xup, S_axis = [], [], [], []
+    for i in range(model.nb):
+        qs, par = model.q_start[i], model.parent[i]
+        if model.joint_type[i] == FREE:
+            pos = [q[qs], q[qs + 1], q[qs + 2]]
+            quat = [q[qs + 3], q[qs + 4], q[qs + 5], q[qs + 6]]
+            R = sa.quat_to_m33(quat)
+            R_wb.append(R)
+            p_wb.append(pos)
+            Xup.append((sa.m33_T(R), pos))  # parent is world
+            S_axis.append(None)
+        else:
+            theta = q[qs]
+            axis = [float(a) for a in model.joint_axis[i]]
+            Rj = sa.axis_angle_to_m33(axis, theta)
+            tp = [float(c) for c in model.tree_pos[i]]
+            Rp = R_wb[par] if par >= 0 else sa.m33_eye()
+            pp = p_wb[par] if par >= 0 else sa.v3_zero()
+            R_wb.append(sa.m33_mul(Rp, Rj))
+            p_wb.append(sa.v3_add(pp, sa.m33_vec(Rp, tp)))
+            Xup.append((sa.m33_T(Rj), tp))
+            S_axis.append(axis)
+    return R_wb, p_wb, Xup, S_axis
+
+
+def _vel_s(model: RigidBodyModel, Xup, S_axis, qd):
+    """Body-frame spatial velocities as 6-lists (body_velocities)."""
+    v = []
+    for i in range(model.nb):
+        vs, par = model.v_start[i], model.parent[i]
+        if S_axis[i] is None:
+            vj = [qd[vs + k] for k in range(6)]
+        else:
+            a, w = S_axis[i], qd[vs]
+            vj = [a[0] * w, a[1] * w, a[2] * w, 0.0, 0.0, 0.0]
+        v.append(vj if par < 0 else sa.sv6_add(sa.x_motion(Xup[i], v[par]), vj))
+    return v
+
+
+def _const_inertias(model: RigidBodyModel):
+    """Per-body 6×6 spatial inertias as nested PYTHON FLOAT lists —
+    constant-folded at trace time."""
+    return [
+        sa.spatial_inertia_s(
+            float(model.mass[i]),
+            [float(c) for c in model.com[i]],
+            [[float(model.inertia[i][r][c]) for c in range(3)] for r in range(3)],
+        )
+        for i in range(model.nb)
+    ]
+
+
+def _mass_matrix_s(model: RigidBodyModel, Xup, S_axis):
+    """CRBA on scalars; armature on the diagonal (mass_matrix)."""
+    Ic = _const_inertias(model)
+    for i in reversed(range(model.nb)):
+        par = model.parent[i]
+        if par >= 0:
+            Ic[par] = sa.m66_add(Ic[par], sa.x_T_I_x(Xup[i], Ic[i]))
+    nv = model.nv
+    M = [[0.0] * nv for _ in range(nv)]
+    for i in range(model.nb):
+        vi = model.v_start[i]
+        if S_axis[i] is None:
+            # S = identity: F = Ic columns; M block = Ic itself
+            F = [[Ic[i][r][c] for r in range(6)] for c in range(6)]
+            for r in range(6):
+                for c in range(6):
+                    M[vi + r][vi + c] = Ic[i][r][c]
+        else:
+            a = S_axis[i]
+            col = sa.m66_vec(Ic[i], [a[0], a[1], a[2], 0.0, 0.0, 0.0])
+            F = [col]
+            M[vi][vi] = a[0] * col[0] + a[1] * col[1] + a[2] * col[2]
+        j = i
+        while model.parent[j] >= 0:
+            F = [sa.x_motion_T(Xup[j], col) for col in F]
+            j = model.parent[j]
+            vj = model.v_start[j]
+            if S_axis[j] is None:
+                for c, col in enumerate(F):
+                    for r in range(6):
+                        M[vj + r][vi + c] = col[r]
+                        M[vi + c][vj + r] = col[r]
+            else:
+                aj = S_axis[j]
+                for c, col in enumerate(F):
+                    val = aj[0] * col[0] + aj[1] * col[1] + aj[2] * col[2]
+                    M[vj][vi + c] = val
+                    M[vi + c][vj] = val
+    for d in range(nv):
+        M[d][d] = M[d][d] + float(model.armature[d])
+    return M
+
+
+def _bias_forces_s(model, Xup, S_axis, v, qd, f_ext_s, R_wb, p_wb):
+    """RNEA with q̈=0 on scalars (bias_forces). f_ext_s: per-body 6-lists
+    of world-frame spatial forces about the world origin, or None."""
+    Ic = _const_inertias(model)
+    a_base = [0.0, 0.0, 0.0, 0.0, 0.0, -model.gravity]
+    a, f = [], []
+    for i in range(model.nb):
+        vs, par = model.v_start[i], model.parent[i]
+        if S_axis[i] is None:
+            vj = [qd[vs + k] for k in range(6)]
+        else:
+            ax, w = S_axis[i], qd[vs]
+            vj = [ax[0] * w, ax[1] * w, ax[2] * w, 0.0, 0.0, 0.0]
+        a_par = sa.x_motion(Xup[i], a_base if par < 0 else a[par])
+        a.append(sa.sv6_add(a_par, sa.crm_motion(v[i], vj)))
+        Iv = sa.m66_vec(Ic[i], v[i])
+        Ia = sa.m66_vec(Ic[i], a[i])
+        fi = sa.sv6_add(Ia, sa.crf_force(v[i], Iv))
+        if f_ext_s is not None:
+            fi = sa.sv6_sub(fi, sa.x_force_inv_T(R_wb[i], p_wb[i], f_ext_s[i]))
+        f.append(fi)
+
+    C = [0.0] * model.nv
+    for i in reversed(range(model.nb)):
+        vs, par = model.v_start[i], model.parent[i]
+        if S_axis[i] is None:
+            for k in range(6):
+                C[vs + k] = f[i][k]
+        else:
+            ax = S_axis[i]
+            C[vs] = ax[0] * f[i][0] + ax[1] * f[i][1] + ax[2] * f[i][2]
+        if par >= 0:
+            f[par] = sa.sv6_add(f[par], sa.x_motion_T(Xup[i], f[i]))
+    for d in range(model.nv):
+        C[d] = C[d] + float(model.damping[d]) * qd[d]
+    return C
+
+
+def _tau_s(model: RigidBodyModel, q, action):
+    """Actuation gears + soft hinge-limit torques (actuation, _limit_torque)."""
+    tau = [0.0] * model.nv
+    for k, dof in enumerate(model.actuated_dofs):
+        tau[dof] = float(model.gear[k]) * jnp.clip(action[k], -1.0, 1.0)
+    for i in range(model.nb):
+        if model.joint_type[i] != HINGE:
+            continue
+        qs, vs = model.q_start[i], model.v_start[i]
+        lo, hi = float(model.limit_lo[vs]), float(model.limit_hi[vs])
+        over = jnp.maximum(q[qs] - hi, 0.0) + jnp.minimum(q[qs] - lo, 0.0)
+        tau[vs] = tau[vs] - model.limit_stiffness * over
+    return tau
+
+
+def _spd_solve_s(M, b):
+    """Unrolled Cholesky solve on nested scalar lists (see spd_solve)."""
+    n = len(b)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        s = M[i][i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv = 1.0 / L[i][i]
+        for j in range(i + 1, n):
+            s = M[j][i]
+            for k in range(i):
+                s = s - L[j][k] * L[i][k]
+            L[j][i] = s * inv
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _integrate_s(model: RigidBodyModel, q, qd, qdd):
+    """Semi-implicit Euler on scalars → (q' [nq], qd' [nv]) jnp arrays."""
+    cap = model.max_dof_speed
+    qd_new = [
+        jnp.clip(qd[d] + model.dt * qdd[d], -cap, cap) for d in range(model.nv)
+    ]
+    q_out = [None] * model.nq
+    for i in range(model.nb):
+        qs, vs = model.q_start[i], model.v_start[i]
+        if model.joint_type[i] == FREE:
+            quat = [q[qs + 3], q[qs + 4], q[qs + 5], q[qs + 6]]
+            Rb = sa.quat_to_m33(quat)
+            omega = [qd_new[vs], qd_new[vs + 1], qd_new[vs + 2]]
+            vlin = [qd_new[vs + 3], qd_new[vs + 4], qd_new[vs + 5]]
+            dp = sa.m33_vec(Rb, vlin)
+            for k in range(3):
+                q_out[qs + k] = q[qs + k] + model.dt * dp[k]
+            qn = sa.quat_integrate_s(quat, omega, model.dt)
+            for k in range(4):
+                q_out[qs + 3 + k] = qn[k]
+        else:
+            q_out[qs] = q[qs] + model.dt * qd_new[vs]
+    return jnp.stack(q_out), jnp.stack(qd_new)
+
+
+def _fd_core(model: RigidBodyModel, q, qd, action, f_ext_s, kin=None):
+    """Scalar forward-dynamics step given external forces as 6-lists."""
+    if kin is None:
+        kin = _kin_s(model, q)
+    R_wb, p_wb, Xup, S_axis = kin
+    qd_l = [qd[d] for d in range(model.nv)]
+    v = _vel_s(model, Xup, S_axis, qd_l)
+    M = _mass_matrix_s(model, Xup, S_axis)
+    C = _bias_forces_s(model, Xup, S_axis, v, qd_l, f_ext_s, R_wb, p_wb)
+    tau = _tau_s(model, q, action)
+    qdd = _spd_solve_s(M, [tau[d] - C[d] for d in range(model.nv)])
+    return _integrate_s(model, q, qd_l, qdd)
+
+
+def physics_step(model: RigidBodyModel, q, qd, action, contact_fn=None):
+    """One substep on the scalar hot path, computing kinematics ONCE for
+    both contacts and dynamics.
+
+    contact_fn(model, R_wb, p_wb, v, Xup, S_axis) → per-body 6-lists of
+    world-frame spatial forces (see pql_tpu.physics.contact scalar fns);
+    None = free flight. Returns (q', qd').
+    """
+    kin = _kin_s(model, q)
+    R_wb, p_wb, Xup, S_axis = kin
+    f_ext_s = None
+    if contact_fn is not None:
+        qd_l = [qd[d] for d in range(model.nv)]
+        v = _vel_s(model, Xup, S_axis, qd_l)
+        f_ext_s = contact_fn(model, R_wb, p_wb, v)
+    return _fd_core(model, q, qd, action, f_ext_s, kin=kin)
+
+
 def fd_step(model: RigidBodyModel, q, qd, action, f_ext_world):
     """One semi-implicit Euler step of forward dynamics.
 
     f_ext_world: [nb, 6] world-frame spatial contact forces (zeros if none).
     Returns (q', qd', aux) where aux carries kinematics for observation
-    construction (R_wb, p_wb, body spatial velocities).
-    """
-    R_wb, p_wb, Xup, S = fwd_kinematics(model, q)
-    v = body_velocities(model, Xup, S, qd)
-    M = mass_matrix(model, Xup, S)
-    C = bias_forces(model, Xup, S, v, qd, f_ext_world, R_wb, p_wb)
-    tau = actuation(model, action) + _limit_torque(model, q)
-    qdd = spd_solve(M, tau - C)
-
-    qd_new = jnp.clip(qd + model.dt * qdd, -model.max_dof_speed, model.max_dof_speed)
-    q_new = q
-    for i in range(model.nb):
-        qs, vs = model.q_start[i], model.v_start[i]
-        if model.joint_type[i] == FREE:
-            quat = q[qs + 3 : qs + 7]
-            Rb = sp.quat_to_mat(quat)
-            omega = qd_new[vs : vs + 3]
-            vlin = qd_new[vs + 3 : vs + 6]
-            q_new = q_new.at[qs : qs + 3].add(model.dt * (Rb @ vlin))
-            q_new = q_new.at[qs + 3 : qs + 7].set(sp.quat_integrate(quat, omega, model.dt))
-        else:
-            q_new = q_new.at[qs].add(model.dt * qd_new[vs])
-    aux = {"R_wb": R_wb, "p_wb": p_wb, "v_body": jnp.stack(v)}
+    construction (R_wb, p_wb, body spatial velocities). Runs on the
+    scalar-unrolled core; the matrix functions above remain the reference
+    implementation (tests assert they agree)."""
+    f_ext_s = [[f_ext_world[i, j] for j in range(6)] for i in range(model.nb)]
+    kin = _kin_s(model, q)
+    R_wb, p_wb, Xup, S_axis = kin
+    qd_l = [qd[d] for d in range(model.nv)]
+    v = _vel_s(model, Xup, S_axis, qd_l)
+    q_new, qd_new = _fd_core(model, q, qd, action, f_ext_s, kin=kin)
+    aux = {
+        "R_wb": jnp.stack([jnp.stack([jnp.stack(r) for r in R]) for R in R_wb]),
+        "p_wb": jnp.stack([jnp.stack(p) for p in p_wb]),
+        "v_body": jnp.stack([jnp.stack(x) for x in v]),
+    }
     return q_new, qd_new, aux

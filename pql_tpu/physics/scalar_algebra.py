@@ -1,0 +1,282 @@
+"""Scalar-unrolled spatial algebra: nested Python lists of per-env scalars.
+
+Why this exists (TPU performance, measured): the matrix form of the engine
+(pql_tpu.physics.spatial — per-env [3,3]/[6,6] jnp arrays under vmap)
+materializes [B,6,6]-shaped intermediates between XLA fusions. On TPU the
+minor dimension is padded to the 128-lane width, so a [4096,6,6] array
+occupies ~21x its logical bytes; profiled inside the fused PQL step, the
+CRBA/RNEA fusions that shuttle these padded blocks cost ~1.8 ms/iter of
+pure bandwidth waste. Representing every small matrix/vector as a nested
+Python LIST of scalars (traced shape-() values; [B] vectors after vmap)
+unrolls the algebra at trace time into wide elementwise ops on clean
+[B]-vectors — the same trick as the unrolled Cholesky in
+``dynamics.spd_solve`` — and gives XLA nothing to lay out badly.
+
+Structure conventions (Featherstone, matching pql_tpu.physics.spatial):
+- v3: [x, y, z] — 3 scalars
+- quat: [w, x, y, z]
+- m33: 3×3 nested list, row major
+- sv6: [ω0,ω1,ω2, v0,v1,v2] — spatial motion/force vector, 6 scalars
+- m66: 6×6 nested list
+- A Plücker motion transform ^B X_A is kept FACTORED as (E: m33, r: v3)
+  (rotation A→B coords, origin offset in A coords) and applied via its
+  block structure — never materialized as 6×6.
+
+Python float literals (0.0) serve as exact zeros: trace-time constant
+folding removes the multiply-by-zero terms a dense matmul would execute.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------- 3-vectors
+
+def v3_add(a, b):
+    return [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
+
+
+def v3_sub(a, b):
+    return [a[0] - b[0], a[1] - b[1], a[2] - b[2]]
+
+
+def v3_scale(a, s):
+    return [a[0] * s, a[1] * s, a[2] * s]
+
+
+def v3_dot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def v3_cross(a, b):
+    return [
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    ]
+
+
+def v3_norm(a, eps=0.0):
+    return jnp.sqrt(v3_dot(a, a) + eps)
+
+
+def v3_zero():
+    return [0.0, 0.0, 0.0]
+
+
+# ------------------------------------------------------------ 3×3 blocks
+
+def m33_vec(M, v):
+    return [v3_dot(M[0], v), v3_dot(M[1], v), v3_dot(M[2], v)]
+
+
+def m33_T_vec(M, v):
+    """Mᵀ v without forming the transpose."""
+    return [
+        M[0][0] * v[0] + M[1][0] * v[1] + M[2][0] * v[2],
+        M[0][1] * v[0] + M[1][1] * v[1] + M[2][1] * v[2],
+        M[0][2] * v[0] + M[1][2] * v[1] + M[2][2] * v[2],
+    ]
+
+
+def m33_mul(A, B):
+    return [
+        [sum(A[i][k] * B[k][j] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+
+
+def m33_T(A):
+    return [[A[j][i] for j in range(3)] for i in range(3)]
+
+
+def m33_add(A, B):
+    return [[A[i][j] + B[i][j] for j in range(3)] for i in range(3)]
+
+
+def m33_scale(A, s):
+    return [[A[i][j] * s for j in range(3)] for i in range(3)]
+
+
+def m33_eye():
+    return [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+
+def m33_skew(v):
+    return [[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]]
+
+
+def quat_to_m33(q):
+    w, x, y, z = q
+    return [
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ]
+
+
+def quat_mul_s(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return [
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ]
+
+
+def quat_integrate_s(q, omega, dt):
+    """Renormalized q ← q + dt·½ q⊗[0,ω] (spatial.quat_integrate)."""
+    dq = quat_mul_s(q, [0.0, omega[0], omega[1], omega[2]])
+    qn = [q[i] + dt * 0.5 * dq[i] for i in range(4)]
+    inv = 1.0 / jnp.sqrt(qn[0] ** 2 + qn[1] ** 2 + qn[2] ** 2 + qn[3] ** 2)
+    return [c * inv for c in qn]
+
+
+def axis_angle_to_m33(axis, angle):
+    """Rodrigues for a CONSTANT (python float) unit axis, traced angle."""
+    s, c = jnp.sin(angle), jnp.cos(angle)
+    K = m33_skew(axis)
+    KK = m33_mul(K, K)
+    E = m33_eye()
+    return [
+        [E[i][j] + s * K[i][j] + (1.0 - c) * KK[i][j] for j in range(3)]
+        for i in range(3)
+    ]
+
+
+# --------------------------------------------------- factored X transforms
+# X = (E, r): motion map [ω;v] ↦ [Eω; E(v − r×ω)]  (spatial.xmat)
+
+def x_motion(X, sv):
+    E, r = X
+    w = sv[:3]
+    v = sv[3:]
+    Ew = m33_vec(E, w)
+    Evr = m33_vec(E, v3_sub(v, v3_cross(r, w)))
+    return Ew + Evr
+
+
+def x_motion_T(X, sv):
+    """Xᵀ sv (used for force accumulation f_parent += Xupᵀ f_child:
+    xmat(E,r)ᵀ [a;b] = [Eᵀa + r×(Eᵀb); Eᵀb])."""
+    E, r = X
+    a, b = sv[:3], sv[3:]
+    Etb = m33_T_vec(E, b)
+    Eta = m33_T_vec(E, a)
+    return v3_add(Eta, v3_cross(r, Etb)) + Etb
+
+
+def x_force_inv_T(R_w, p_w, f_world):
+    """^i X*_0 applied to a world spatial force [n;f] about the world
+    origin, for a body at world pose (R_w, p_w):
+    n_body = Rᵀ(n − p×f), f_body = Rᵀ f  (spatial.xmat_force with E=Rᵀ, r=p)."""
+    n, f = f_world[:3], f_world[3:]
+    return m33_T_vec(R_w, v3_sub(n, v3_cross(p_w, f))) + m33_T_vec(R_w, f)
+
+
+def crm_motion(v, u):
+    """Spatial motion cross product v ×ₘ u (spatial.crm)."""
+    w, vl = v[:3], v[3:]
+    uw, ul = u[:3], u[3:]
+    return v3_cross(w, uw) + v3_add(v3_cross(vl, uw), v3_cross(w, ul))
+
+
+def crf_force(v, f):
+    """Spatial force cross product v ×* f = -crm(v)ᵀ f (spatial.crf)."""
+    w, vl = v[:3], v[3:]
+    n, fl = f[:3], f[3:]
+    return v3_add(v3_cross(w, n), v3_cross(vl, fl)) + v3_cross(w, fl)
+
+
+# ------------------------------------------------------------ 6×6 inertia
+
+def sv6_add(a, b):
+    return [a[i] + b[i] for i in range(6)]
+
+
+def sv6_sub(a, b):
+    return [a[i] - b[i] for i in range(6)]
+
+
+def sv6_zero():
+    return [0.0] * 6
+
+
+def _zero(x) -> bool:
+    """Trace-time structural zero (exact python-float 0.0)."""
+    return isinstance(x, float) and x == 0.0
+
+
+def m66_vec(M, v):
+    """M v, skipping structural-zero terms at trace time."""
+    out = []
+    for i in range(6):
+        acc = None
+        for j in range(6):
+            if _zero(M[i][j]) or _zero(v[j]):
+                continue
+            t = M[i][j] * v[j]
+            acc = t if acc is None else acc + t
+        out.append(0.0 if acc is None else acc)
+    return out
+
+
+def m66_add(A, B):
+    return [[A[i][j] + B[i][j] for j in range(6)] for i in range(6)]
+
+
+def spatial_inertia_s(mass, com, inertia_com):
+    """6×6 spatial inertia about the body origin (spatial.spatial_inertia).
+    mass/com/inertia are CONSTANTS (python floats / nested lists) — the
+    whole block is constant-folded at trace time."""
+    C = m33_skew(list(com))
+    CCt = m33_mul(C, m33_T(C))
+    I_bar = [[inertia_com[i][j] + mass * CCt[i][j] for j in range(3)] for i in range(3)]
+    mC = m33_scale(C, mass)
+    mCt = m33_T(mC)
+    out = [[0.0] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            out[i][j] = I_bar[i][j]
+            out[i][3 + j] = mC[i][j]
+            out[3 + i][j] = mCt[i][j]
+    out[3][3] = out[4][4] = out[5][5] = mass
+    return out
+
+
+def x_T_I_x(X, Ic):
+    """Xᵀ Ic X for a factored motion transform X=(E,r) and 6×6 inertia Ic —
+    the CRBA composite-inertia propagation (dynamics.mass_matrix), done in
+    3×3 blocks so the structural zeros of X never generate ops:
+
+    X = [[E, 0], [Y, E]] with Y = -E·skew(r); Ic = [[A, B], [C, D]] →
+    XᵀIcX = [[Eᵀ(AE+BY) + Yᵀ(CE+DY), Eᵀ·B·E + Yᵀ·D·E],
+             [Eᵀ(CE+DY),              Eᵀ·D·E           ]]
+    """
+    E, r = X
+    Y = m33_scale(m33_mul(E, m33_skew(r)), -1.0)
+    A = [row[:3] for row in Ic[:3]]
+    B = [row[3:] for row in Ic[:3]]
+    C = [row[:3] for row in Ic[3:]]
+    D = [row[3:] for row in Ic[3:]]
+    Et = m33_T(E)
+    Yt = m33_T(Y)
+    AE_BY = m33_add(m33_mul(A, E), m33_mul(B, Y))
+    CE_DY = m33_add(m33_mul(C, E), m33_mul(D, Y))
+    BE = m33_mul(B, E)
+    DE = m33_mul(D, E)
+    TL = m33_add(m33_mul(Et, AE_BY), m33_mul(Yt, CE_DY))
+    TR = m33_add(m33_mul(Et, BE), m33_mul(Yt, DE))
+    BL = m33_mul(Et, CE_DY)
+    BR = m33_mul(Et, DE)
+    out = [[0.0] * 6 for _ in range(6)]
+    for i in range(3):
+        for j in range(3):
+            out[i][j] = TL[i][j]
+            out[i][3 + j] = TR[i][j]
+            out[3 + i][j] = BL[i][j]
+            out[3 + i][3 + j] = BR[i][j]
+    return out

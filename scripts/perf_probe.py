@@ -21,6 +21,10 @@ import jax
 from pql_tpu.algos.pql import PQL
 from pql_tpu.cfg import make_config
 
+from pql_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def build(task, num_envs, ipc, n_critic=None, n_actor=None, sample_slots=None):
     over = {} if sample_slots is None else {"algo__sample_slots": sample_slots}

@@ -24,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 from pql_tpu.cfg import parse_cli, to_dict
+
+from pql_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 from pql_tpu.envs import make_eval_env
 from pql_tpu.utils.checkpoint import (
     load_model_snapshot,

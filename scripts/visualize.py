@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 from pql_tpu.cfg import Config, parse_cli
+
+from pql_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 from pql_tpu.envs import make_env
 from pql_tpu.utils.checkpoint import load_model_snapshot, restore_into_state
 from pql_tpu.utils.evaluator import Evaluator

@@ -18,6 +18,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent compilation cache: the suite re-jits the same task/agent
+# programs across many test files, and the scalar-unrolled physics
+# substep is compile-heavy (tens of seconds per rigid-body task on CPU).
+# Caching executables across test files AND across suite runs cuts
+# repeat wall-clock by an order of magnitude.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pql_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import pytest  # noqa: E402
 
 
