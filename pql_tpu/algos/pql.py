@@ -165,29 +165,31 @@ class PQL:
             self.pspecs,
             is_leaf=lambda x: isinstance(x, P),
         )
-        # Pin the replay buffer's jit-boundary layout to row-major. Left to
-        # auto layout assignment, XLA picks an envs-minor entry layout for
-        # the multi-hundred-MB packed buffer while the loop body computes
-        # in row-major — inserting TWO full-buffer layout-conversion
-        # copies per dispatch (profiled: 1.56 ms/iter on Ant@4096).
+        # Pin row-major OUTPUT layouts for the replay buffer on the INIT
+        # program only (wide rows only — narrow rows would pad the
+        # 128-lane minor dim ~12x). Every later program specializes its
+        # entry on the argument's ACTUAL layout, so seeding init with the
+        # layout the loop body computes in ({2,1,0}: the row-gather and
+        # ring DUS) keeps the whole steady state copy-free; left to auto,
+        # init emits an envs-minor layout and every training dispatch pays
+        # two full-buffer conversion copies (1.55 ms/iter, Ant@4096).
+        # No in_shardings pins anywhere: a hard entry pin crashes when XLA
+        # refuses the layout (observed on AllegroHand@8192); if XLA
+        # refuses init's out-pin the result is only the old copies.
         from jax.experimental.layout import Format, Layout
 
-        # Only pin when the packed row is a decent fraction of the 128-lane
-        # tile: row-major storage of a narrow row (e.g. Cartpole's D=11)
-        # would pad the minor dim to 128 lanes (~12x HBM inflation), which
-        # costs more than the copies it saves; for wide rows (Ant D=78)
-        # padding is ~1.6x and the copy elimination wins (-1.56 ms/iter).
-        replay_io = jax.tree_util.tree_map(
-            lambda shape_leaf, sh: (
-                Format(Layout(major_to_minor=tuple(range(shape_leaf.ndim))), sh)
-                if getattr(shape_leaf, "ndim", 0) == 3 and shape_leaf.shape[-1] >= 64
-                else sh
-            ),
-            state_shape.replay,
-            self.shardings.replay,
+        init_shardings = self.shardings.replace(
+            replay=jax.tree_util.tree_map(
+                lambda shape_leaf, sh: (
+                    Format(Layout(major_to_minor=tuple(range(shape_leaf.ndim))), sh)
+                    if getattr(shape_leaf, "ndim", 0) == 3 and shape_leaf.shape[-1] >= 64
+                    else sh
+                ),
+                state_shape.replay,
+                self.shardings.replay,
+            )
         )
-        self.shardings = self.shardings.replace(replay=replay_io)
-        self.init = jax.jit(self._init_global, out_shardings=self.shardings)
+        self.init = jax.jit(self._init_global, out_shardings=init_shardings)
 
         events_spec = {
             k: P(None, self.axis) for k in ("ep_returns", "ep_lengths", "success", "done")
@@ -234,12 +236,7 @@ class PQL:
                 }
                 return state, metrics
 
-            return jax.jit(
-                outer,
-                donate_argnums=0,
-                in_shardings=(self.shardings,),
-                out_shardings=(self.shardings, None),
-            )
+            return jax.jit(outer, donate_argnums=0)
 
         self.train_iter = make_step(
             cfg.algo.horizon_len, False, self.n_critic * cfg.algo.horizon_len,

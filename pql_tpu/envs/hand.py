@@ -33,6 +33,7 @@ from pql_tpu.physics.dynamics import (
     fd_step,
     fwd_kinematics,
     physics_step,
+    physics_substeps,
 )
 from pql_tpu.physics.spatial import quat_inv, quat_mul
 
@@ -214,12 +215,10 @@ class AllegroHand:
     def dynamics(self, state, action, rng):
         m = self.model
 
-        def substep(carry, _):
-            q, qd = carry
-            q, qd = physics_step(m, q, qd, action, contact_fn=self._contact_fn)
-            return (q, qd), None
-
-        (q, qd), _ = jax.lax.scan(substep, (state["q"], state["qd"]), None, length=self.substeps)
+        q, qd = physics_substeps(
+            m, state["q"], state["qd"], action, self.substeps,
+            contact_fn=self._contact_fn,
+        )
         pos, quat = self._cube_pose(q)
         dist = rot_dist(quat, state["target"])
         success = dist < self.success_tolerance

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from pql_tpu.physics import FREE, Geom, HINGE, RigidBodyModel
-from pql_tpu.physics.dynamics import fd_step, fwd_kinematics, physics_step
+from pql_tpu.physics.dynamics import fd_step, fwd_kinematics, physics_step, physics_substeps
 
 CUBE_A_HALF = 0.025
 CUBE_B_HALF = 0.035
@@ -144,13 +144,8 @@ class FrankaCubeStack:
         m = self.model
         arm_action, grip = action[:7], action[7]
 
-        def substep(carry, _):
-            q, qd = carry
-            q, qd = physics_step(m, q, qd, arm_action, contact_fn=None)
-            return (q, qd), None
-
-        (q, qd), _ = jax.lax.scan(
-            substep, (state["q"], state["qd"]), None, length=self.substeps
+        q, qd = physics_substeps(
+            m, state["q"], state["qd"], arm_action, self.substeps, contact_fn=None
         )
         ee = self._ee_pos(q)
 

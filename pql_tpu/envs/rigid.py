@@ -24,6 +24,7 @@ from pql_tpu.physics.dynamics import (
     fd_step,
     fwd_kinematics,
     physics_step,
+    physics_substeps,
 )
 from pql_tpu.physics.spatial import quat_rotate
 
@@ -174,15 +175,10 @@ class Ant:
         q, qd = state["q"], state["qd"]
         x_before = q[0]
 
-        def substep(carry, _):
-            q, qd = carry
-            q, qd = physics_step(
-                m, q, qd, action,
-                contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
-            )
-            return (q, qd), None
-
-        (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=self.substeps)
+        q, qd = physics_substeps(
+            m, q, qd, action, self.substeps,
+            contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+        )
 
         dt_ctrl = m.dt * self.substeps
         forward_vel = (q[0] - x_before) / dt_ctrl
@@ -352,15 +348,10 @@ class Humanoid:
         q, qd = state["q"], state["qd"]
         x_before = q[0]
 
-        def substep(carry, _):
-            q, qd = carry
-            q, qd = physics_step(
-                m, q, qd, action,
-                contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
-            )
-            return (q, qd), None
-
-        (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=self.substeps)
+        q, qd = physics_substeps(
+            m, q, qd, action, self.substeps,
+            contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+        )
         dt_ctrl = m.dt * self.substeps
         forward_vel = (q[0] - x_before) / dt_ctrl
         up_proj = quat_rotate(q[3:7], jnp.array([0.0, 0.0, 1.0]))[2]
@@ -516,15 +507,10 @@ class Anymal:
         m = self.model
         q, qd = state["q"], state["qd"]
 
-        def substep(carry, _):
-            q, qd = carry
-            q, qd = physics_step(
-                m, q, qd, action,
-                contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
-            )
-            return (q, qd), None
-
-        (q, qd), _ = jax.lax.scan(substep, (q, qd), None, length=self.substeps)
+        q, qd = physics_substeps(
+            m, q, qd, action, self.substeps,
+            contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+        )
         lin_vel_world = quat_rotate(q[3:7], qd[3:6])
         cmd = state["cmd"]
         lin_err = jnp.sum(jnp.square(lin_vel_world[:2] - cmd[:2]))

@@ -401,8 +401,8 @@ def _spd_solve_s(M, b):
     return x
 
 
-def _integrate_s(model: RigidBodyModel, q, qd, qdd):
-    """Semi-implicit Euler on scalars → (q' [nq], qd' [nv]) jnp arrays."""
+def _integrate_parts(model: RigidBodyModel, q, qd, qdd):
+    """Semi-implicit Euler on scalars → (q' list[nq], qd' list[nv])."""
     cap = model.max_dof_speed
     qd_new = [
         jnp.clip(qd[d] + model.dt * qdd[d], -cap, cap) for d in range(model.nv)
@@ -423,39 +423,64 @@ def _integrate_s(model: RigidBodyModel, q, qd, qdd):
                 q_out[qs + 3 + k] = qn[k]
         else:
             q_out[qs] = q[qs] + model.dt * qd_new[vs]
-    return jnp.stack(q_out), jnp.stack(qd_new)
+    return q_out, qd_new
 
 
-def _fd_core(model: RigidBodyModel, q, qd, action, f_ext_s, kin=None):
-    """Scalar forward-dynamics step given external forces as 6-lists."""
-    if kin is None:
-        kin = _kin_s(model, q)
-    R_wb, p_wb, Xup, S_axis = kin
-    qd_l = [qd[d] for d in range(model.nv)]
-    v = _vel_s(model, Xup, S_axis, qd_l)
+def _step_parts(model: RigidBodyModel, q, qd, action, contact_fn=None, f_ext_s=None):
+    """One scalar substep on per-dof scalar LISTS q [nq], qd [nv] →
+    (q' list, qd' list). Kinematics computed once for contacts + dynamics."""
+    R_wb, p_wb, Xup, S_axis = _kin_s(model, q)
+    v = _vel_s(model, Xup, S_axis, qd)
+    if contact_fn is not None:
+        f_ext_s = contact_fn(model, R_wb, p_wb, v)
     M = _mass_matrix_s(model, Xup, S_axis)
-    C = _bias_forces_s(model, Xup, S_axis, v, qd_l, f_ext_s, R_wb, p_wb)
+    C = _bias_forces_s(model, Xup, S_axis, v, qd, f_ext_s, R_wb, p_wb)
     tau = _tau_s(model, q, action)
     qdd = _spd_solve_s(M, [tau[d] - C[d] for d in range(model.nv)])
-    return _integrate_s(model, q, qd_l, qdd)
+    return _integrate_parts(model, q, qd, qdd)
 
 
 def physics_step(model: RigidBodyModel, q, qd, action, contact_fn=None):
     """One substep on the scalar hot path, computing kinematics ONCE for
     both contacts and dynamics.
 
-    contact_fn(model, R_wb, p_wb, v, Xup, S_axis) → per-body 6-lists of
-    world-frame spatial forces (see pql_tpu.physics.contact scalar fns);
-    None = free flight. Returns (q', qd').
+    contact_fn(model, R_wb, p_wb, v) → per-body 6-lists of world-frame
+    spatial forces (see pql_tpu.physics.contact scalar fns); None = free
+    flight. Returns (q', qd') as stacked arrays.
     """
-    kin = _kin_s(model, q)
-    R_wb, p_wb, Xup, S_axis = kin
-    f_ext_s = None
-    if contact_fn is not None:
-        qd_l = [qd[d] for d in range(model.nv)]
-        v = _vel_s(model, Xup, S_axis, qd_l)
-        f_ext_s = contact_fn(model, R_wb, p_wb, v)
-    return _fd_core(model, q, qd, action, f_ext_s, kin=kin)
+    q_l = [q[i] for i in range(model.nq)]
+    qd_l = [qd[d] for d in range(model.nv)]
+    q2, qd2 = _step_parts(model, q_l, qd_l, action, contact_fn)
+    return jnp.stack(q2), jnp.stack(qd2)
+
+
+def physics_substeps(model: RigidBodyModel, q, qd, action, substeps: int, contact_fn=None):
+    """`substeps` scalar substeps with PER-DOF SCALARS as the lax.scan
+    carry. Carrying stacked [nq]/[nv] arrays instead forces a slice at
+    every substep entry and a stack at every exit; under vmap those
+    materialize as [B,1]-shaped columns that TPU tiles as T(1,128) —
+    128x padded HBM traffic at every scan iteration (profiled ~140
+    us/iter on Ant@4096). A tuple-of-[B]-vectors carry keeps everything
+    in clean lanes; stacking happens once per control step."""
+    q_l = tuple(q[i] for i in range(model.nq))
+    qd_l = tuple(qd[d] for d in range(model.nv))
+
+    def body(carry, _):
+        q_t, qd_t = carry
+        q2, qd2 = _step_parts(model, list(q_t), list(qd_t), action, contact_fn)
+        return (tuple(q2), tuple(qd2)), None
+
+    (q_l, qd_l), _ = jax.lax.scan(body, (q_l, qd_l), None, length=substeps)
+    return jnp.stack(q_l), jnp.stack(qd_l)
+
+
+def _fd_core(model: RigidBodyModel, q, qd, action, f_ext_s, kin=None):
+    """Scalar forward-dynamics step given external forces as 6-lists
+    (stacked-array interface for fd_step)."""
+    q_l = [q[i] for i in range(model.nq)]
+    qd_l = [qd[d] for d in range(model.nv)]
+    q2, qd2 = _step_parts(model, q_l, qd_l, action, contact_fn=None, f_ext_s=f_ext_s)
+    return jnp.stack(q2), jnp.stack(qd2)
 
 
 def fd_step(model: RigidBodyModel, q, qd, action, f_ext_world):
@@ -471,7 +496,7 @@ def fd_step(model: RigidBodyModel, q, qd, action, f_ext_world):
     R_wb, p_wb, Xup, S_axis = kin
     qd_l = [qd[d] for d in range(model.nv)]
     v = _vel_s(model, Xup, S_axis, qd_l)
-    q_new, qd_new = _fd_core(model, q, qd, action, f_ext_s, kin=kin)
+    q_new, qd_new = _fd_core(model, q, qd, action, f_ext_s)
     aux = {
         "R_wb": jnp.stack([jnp.stack([jnp.stack(r) for r in R]) for R in R_wb]),
         "p_wb": jnp.stack([jnp.stack(p) for p in p_wb]),
