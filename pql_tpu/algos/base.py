@@ -19,6 +19,7 @@ from flax import struct
 from pql_tpu.envs.base import VecEnv, handle_timeout
 from pql_tpu.models import get_model
 from pql_tpu.ops import RunningMeanStd, add_mixed_normal_noise, add_normal_noise
+from pql_tpu.ops.schedules import schedule_value
 from pql_tpu.utils.trackers import EpisodeStats
 
 
@@ -90,26 +91,39 @@ def build_optimizer(lr: float, max_grad_norm: float | None) -> optax.GradientTra
 
 
 def exploration_policy(cfg, actor_module) -> Callable:
-    """Builds action_fn(params, obs_normalized, rng, random) for off-policy
-    exploration, reproducing PQLActor.get_actions (pql_actor.py:69-85):
-    deterministic actor + fixed/mixed noise, or uniform random warm-up
-    actions in [-1, 1] (pql_actor.py:100-102)."""
+    """Builds action_fn(params, obs_normalized, rng, random, step) for
+    off-policy exploration, reproducing PQLActor.get_actions
+    (pql_actor.py:69-85): deterministic actor + fixed/mixed noise, or
+    uniform random warm-up actions in [-1, 1] (pql_actor.py:100-102).
+
+    ``step`` is the training-iteration index driving noise decay
+    (cfg.algo.noise.decay = 'linear'|'exp'). The reference constructs the
+    same schedulers (pql_actor.py:44-54, schedule_util.py:4-46) but never
+    calls ``update_noise()``, so its decay is inert; here the schedule is
+    evaluated functionally at the iteration index, which both honors the
+    config and stays jit-pure. With decay=None the std is the static
+    std_max — bit-identical to the undecayed path. For 'mixed' noise the
+    *upper* band decays toward std_min (the reference only ever applies
+    get_noise_std() to 'fixed' noise, ddpg.py:52-68)."""
     noise = cfg.algo.noise
 
-    def action_fn(params, obs_n, rng, *, random: bool, num_envs_global: int, global_start=0):
+    def action_fn(
+        params, obs_n, rng, *, random: bool, num_envs_global: int, global_start=0, step=0
+    ):
         k_act, k_noise = jax.random.split(rng)
         if random:
             shape = (obs_n.shape[0], actor_module.act_dim)
             return jax.random.uniform(k_act, shape, jnp.float32, -1.0, 1.0)
         act = actor_module.apply(params, obs_n)
+        std_hi = schedule_value(noise, step)
         if noise.type == "fixed":
-            return add_normal_noise(k_noise, act, noise.std_max, out_bounds=(-1.0, 1.0))
+            return add_normal_noise(k_noise, act, std_hi, out_bounds=(-1.0, 1.0))
         if noise.type == "mixed":
             return add_mixed_normal_noise(
                 k_noise,
                 act,
                 noise.std_min,
-                noise.std_max,
+                std_hi,
                 out_bounds=(-1.0, 1.0),
                 num_envs_global=num_envs_global,
                 global_start=global_start,
@@ -150,6 +164,7 @@ def rollout(
     axis_name: str | None = None,
     num_envs_global: int | None = None,
     global_start=0,
+    step=0,
 ):
     """Collect `horizon` lockstep steps (reference explore_env,
     pql_actor.py:87-127). Returns (carry, traj) with traj fields
@@ -180,6 +195,7 @@ def rollout(
             random=random,
             num_envs_global=num_envs_global,
             global_start=global_start,
+            step=step,
         )
         env_state, next_obs, reward, done, info = env.step(c.env_state, action, k_env)
         stats = c.stats.update(reward, done, info)

@@ -124,8 +124,12 @@ class DDPG:
             stats=state.stats,
             rng=k_roll,
         )
+        # iteration index for noise decay (cfg.algo.noise.decay); derived
+        # from the step counter so it stays jit-pure and checkpointable
+        iter_idx = state.env_steps // (cfg.algo.horizon_len * self.env.num_envs)
         carry, traj = base.rollout(
-            self.env, cfg, self.action_fn, state.actor_params, carry, horizon, random
+            self.env, cfg, self.action_fn, state.actor_params, carry, horizon, random,
+            step=iter_idx,
         )
         nstep, emitted, _valid = nstep_scan(state.nstep, traj)
         # invalid warm-up emissions are excluded by the replay valid_start

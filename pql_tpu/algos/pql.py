@@ -45,6 +45,7 @@ from pql_tpu.algos import base
 from pql_tpu.envs import make_task
 from pql_tpu.envs.base import VecEnv, handle_timeout
 from pql_tpu.ops import RunningMeanStd, add_mixed_normal_noise, add_normal_noise, soft_update
+from pql_tpu.ops.schedules import schedule_value
 from pql_tpu.ops.distributional import binary_cross_entropy, categorical_td_target
 from pql_tpu.ops.pallas import categorical_td_target_pallas
 from pql_tpu.parallel import make_mesh, state_pspecs
@@ -310,6 +311,14 @@ class PQL:
         rng, k_roll, k_crit, k_act = jax.random.split(state.rng, 4)
         k_roll = jax.random.fold_in(k_roll, ax)
 
+        # exploration-noise decay (cfg.algo.noise.decay): evaluate the
+        # schedule at the iteration index. The reference builds the same
+        # schedulers (pql_actor.py:44-54) but never steps them; this is
+        # the working version. decay=None → static std_max (identical
+        # numerics to the undecayed path).
+        iter_idx = state.env_steps // (cfg.algo.horizon_len * self.num_envs)
+        std_hi = schedule_value(cfg.algo.noise, iter_idx)
+
         # ---------------- sim phase (pql_actor.explore_env, :87-127) ------
         def sim_step(carry, _):
             env_state, obs, obs_rms, cur_ret, cur_len, k = carry
@@ -328,7 +337,7 @@ class PQL:
                     k_n,
                     self.actor.apply(self._unravel_a(state.actor_params), obs_n),
                     cfg.algo.noise.std_min,
-                    cfg.algo.noise.std_max,
+                    std_hi,
                     out_bounds=(-1.0, 1.0),
                     num_envs_global=self.num_envs,
                     global_start=ax * self.e_local,
@@ -337,7 +346,7 @@ class PQL:
                 action = add_normal_noise(
                     k_n,
                     self.actor.apply(self._unravel_a(state.actor_params), obs_n),
-                    cfg.algo.noise.std_max,
+                    std_hi,
                     out_bounds=(-1.0, 1.0),
                 )
             env_state, next_obs, reward, done, info = self.env_local.step(env_state, action, k_e)

@@ -167,6 +167,83 @@ class TestOffPolicyAgents:
         assert bool(jnp.isfinite(metrics["train/critic_loss"]))
 
 
+class TestNoiseDecay:
+    """noise.decay wiring (reference pql_actor.py:44-54 builds schedulers
+    but never steps them; ours evaluates them at the iteration index)."""
+
+    def _dispersion(self, decay, step, **noise_kw):
+        from pql_tpu.algos import base as algo_base
+        from pql_tpu.envs import make_env
+
+        cfg = tiny_cfg("ddpg", algo__noise__decay=decay)
+        for k, v in noise_kw.items():
+            setattr(cfg.algo.noise, k, v)
+        env = make_env(cfg)
+        actor = algo_base.build_actor(cfg, env)
+        params = actor.init(jax.random.PRNGKey(0), jnp.zeros((1, env.obs_dim)))
+        action_fn = algo_base.exploration_policy(cfg, actor)
+        obs = jnp.zeros((cfg.num_envs, env.obs_dim))
+        det = actor.apply(params, obs)
+        noisy = action_fn(
+            params, obs, jax.random.PRNGKey(1), random=False,
+            num_envs_global=cfg.num_envs, step=step,
+        )
+        return float(jnp.abs(noisy - det).mean())
+
+    def test_linear_decay_shrinks_action_dispersion(self):
+        d0 = self._dispersion("linear", 0, lin_decay_iters=100)
+        d_end = self._dispersion("linear", 100, lin_decay_iters=100)
+        assert d_end < 0.5 * d0
+        # fully decayed: band collapses to std_min on both ends
+        d_half = self._dispersion("linear", 50, lin_decay_iters=100)
+        assert d_end < d_half < d0
+
+    def test_exp_decay_shrinks_and_floors_at_std_min(self):
+        d0 = self._dispersion("exp", 0, exp_decay_rate=0.9)
+        d_late = self._dispersion("exp", 500, exp_decay_rate=0.9)
+        assert d_late < 0.5 * d0
+        d_later = self._dispersion("exp", 5000, exp_decay_rate=0.9)
+        # floored at std_min, not zero
+        assert d_later > 0.0
+        assert abs(d_later - d_late) < 0.05
+
+    def test_no_decay_is_static(self):
+        assert self._dispersion(None, 0) == self._dispersion(None, 10_000)
+
+    def test_pql_sim_phase_honors_decay(self):
+        """End-to-end: a PQL agent with aggressive linear decay should log
+        replay actions whose *noise residual* (action − deterministic
+        policy action) shrinks across iterations. Learning is frozen
+        (lr=0, obs_norm off) so the deterministic policy is a fixed
+        function of the stored obs."""
+        from pql_tpu.algos.pql import PQL
+        from pql_tpu.parallel import make_mesh
+
+        cfg = tiny_cfg(
+            "pql",
+            algo__noise__decay="linear",
+            algo__noise__lin_decay_iters=4,
+            algo__warm_up=4,
+            algo__actor_lr=0.0,
+            algo__critic_lr=0.0,
+            algo__obs_norm=False,
+        )
+        agent = PQL(cfg, mesh=make_mesh(4))
+        state = agent.init(jax.random.PRNGKey(0))
+        state, _ = agent.warmup(state)
+        for _ in range(8):  # run past lin_decay_iters
+            state, _ = agent.train_iter(state)
+        acts = np.asarray(state.replay.field("action"))
+        obs = np.asarray(state.replay.field("obs"))
+        det = np.asarray(
+            agent.actor.apply(agent._unravel_a(state.actor_params), obs.reshape(-1, obs.shape[-1]))
+        ).reshape(acts.shape)
+        resid = acts - det
+        early = resid[4]   # first post-warmup policy slot (iter 0, full band)
+        late = resid[11]   # fully decayed slot
+        assert np.abs(late).mean() < 0.5 * np.abs(early).mean()
+
+
 def _naive_gae(rewards, values, dones, truncated, next_value, next_done, gamma, lam):
     """Python transcription of the reference GAE loop (ppo.py:88-107):
     dones[t] is the done flag that produced obs[t]."""
