@@ -45,6 +45,7 @@ from pql_tpu.algos import base
 from pql_tpu.envs import make_task
 from pql_tpu.envs.base import VecEnv, handle_timeout
 from pql_tpu.ops import RunningMeanStd, add_mixed_normal_noise, add_normal_noise, soft_update
+from pql_tpu.ops.noise import per_row_uniform
 from pql_tpu.ops.schedules import schedule_value
 from pql_tpu.ops.distributional import binary_cross_entropy, categorical_td_target
 from pql_tpu.ops.pallas import categorical_td_target_pallas
@@ -309,7 +310,12 @@ class PQL:
         cfg = self.cfg
         ax = jax.lax.axis_index(self.axis)
         rng, k_roll, k_crit, k_act = jax.random.split(state.rng, 4)
-        k_roll = jax.random.fold_in(k_roll, ax)
+        # sim-phase rng is NOT folded per shard: every per-env draw (noise,
+        # env dynamics, resets) derives from the env's GLOBAL index, so the
+        # simulated stream is bitwise identical for any mesh size
+        # (tests/test_sharding_equivalence.py). Learner-phase keys still
+        # fold per shard — replay sampling is local by design.
+        gs = ax * self.e_local  # this shard's first global env index
 
         # exploration-noise decay (cfg.algo.noise.decay): evaluate the
         # schedule at the iteration index. The reference builds the same
@@ -329,8 +335,8 @@ class PQL:
             else:
                 obs_n = obs
             if random:
-                action = jax.random.uniform(
-                    k_a, (self.e_local, self.action_dim), jnp.float32, -1.0, 1.0
+                action = per_row_uniform(
+                    k_a, (self.e_local, self.action_dim), jnp.float32, -1.0, 1.0, gs
                 )
             elif cfg.algo.noise.type == "mixed":
                 action = add_mixed_normal_noise(
@@ -340,7 +346,7 @@ class PQL:
                     std_hi,
                     out_bounds=(-1.0, 1.0),
                     num_envs_global=self.num_envs,
-                    global_start=ax * self.e_local,
+                    global_start=gs,
                 )
             else:
                 action = add_normal_noise(
@@ -348,8 +354,11 @@ class PQL:
                     self.actor.apply(self._unravel_a(state.actor_params), obs_n),
                     std_hi,
                     out_bounds=(-1.0, 1.0),
+                    global_start=gs,
                 )
-            env_state, next_obs, reward, done, info = self.env_local.step(env_state, action, k_e)
+            env_state, next_obs, reward, done, info = self.env_local.step(
+                env_state, action, k_e, global_start=gs
+            )
 
             # episode accounting (pql_actor.update_tracker, :129-147)
             cur_ret = cur_ret + reward

@@ -75,22 +75,32 @@ class VecEnv:
             return jax.vmap(self.task.get_symmetry)(s.state)
         return jnp.zeros(self.num_envs, jnp.float32)
 
-    def reset(self, rng: jax.Array):
+    def env_keys(self, rng: jax.Array, global_start=0) -> jax.Array:
+        """Per-env PRNG keys derived from each env's GLOBAL index
+        (fold_in(rng, global_idx)). Under shard_map, passing the shard's
+        global offset makes every env's key — and therefore the whole sim
+        stream — bitwise independent of how the env axis is sharded
+        (SURVEY §4: 'sharded step == single-device step')."""
+        idx = jnp.arange(self.num_envs) + jnp.asarray(global_start, jnp.int32)
+        return jax.vmap(lambda i: jax.random.fold_in(rng, i))(idx)
+
+    def reset(self, rng: jax.Array, global_start=0):
         """Fresh episodes for every env (ResetEnvWrapper.reset force-resets
         all envs, pql/wrappers/reset.py:14-19)."""
-        keys = jax.random.split(rng, self.num_envs)
+        keys = self.env_keys(rng, global_start)
         state = jax.vmap(self.task.init_state)(keys)
         obs = jax.vmap(self.task.get_obs)(state)
         return VecEnvState(state=state, time=jnp.zeros(self.num_envs, jnp.int32)), obs
 
-    def step(self, s: VecEnvState, actions: jax.Array, rng: jax.Array):
+    def step(self, s: VecEnvState, actions: jax.Array, rng: jax.Array, global_start=0):
         """Lockstep batched step with auto-reset.
 
         Returns (state, obs, reward, done, info) where done includes
-        timeouts and info['truncated'] isolates them.
+        timeouts and info['truncated'] isolates them. ``global_start`` is
+        the shard's first global env index (0 when unsharded).
         """
         k_dyn, k_reset = jax.random.split(rng)
-        dyn_keys = jax.random.split(k_dyn, self.num_envs)
+        dyn_keys = self.env_keys(k_dyn, global_start)
         next_state, reward, terminated, info = jax.vmap(self.task.dynamics)(
             s.state, actions, dyn_keys
         )
@@ -99,7 +109,7 @@ class VecEnv:
         done = jnp.logical_or(terminated, truncated)
 
         # auto-reset: re-init done envs, keep the others
-        reset_keys = jax.random.split(k_reset, self.num_envs)
+        reset_keys = self.env_keys(k_reset, global_start)
         fresh_state = jax.vmap(self.task.init_state)(reset_keys)
         next_state = jax.tree_util.tree_map(
             lambda fresh, cont: jnp.where(
