@@ -41,6 +41,24 @@ class NoiseConfig:
 
 
 @dataclass
+class DistConfig:
+    """Multi-host (multi-process) job description (pql_tpu.parallel.distributed).
+
+    The reference has no cross-host story (Ray actors within one machine,
+    SURVEY §2.9); on TPU pods one process per host joins a single SPMD
+    program. All-None = single process. On a TPU pod slice set
+    ``auto_tpu_pod=true`` (coordinator discovered from TPU metadata);
+    elsewhere pass coordinator_address/num_processes/process_id explicitly
+    (or PQL_COORDINATOR / PQL_NUM_PROCESSES / PQL_PROCESS_ID env vars).
+    """
+
+    coordinator_address: str | None = None
+    num_processes: int | None = None
+    process_id: int | None = None
+    auto_tpu_pod: bool = False
+
+
+@dataclass
 class LoggingConfig:
     """Logging sinks (reference pql/cfg/logging/default.yaml)."""
 
@@ -111,6 +129,10 @@ class AlgoConfig:
     # EQSD2 scheduled KL weight (reference eqsd2.py:55, kl_max → 0)
     kl_max: float = 1.0
     kl_decay_iters: int = 1000
+    # Local pretrained-weight file for vision encoders (.npz / .pth /
+    # orbax dir — pql_tpu/models/pretrained.py). The air-gap analog of
+    # the reference's torchvision/torch-hub downloads (visual.py:183-210).
+    encoder_weights: str | None = None
     # --- TPU-specific ---
     # Compute dtype for network forward passes ('float32' | 'bfloat16').
     # Params are always stored in float32.
@@ -235,6 +257,7 @@ class Config:
     task: str = "Cartpole"
     algo: AlgoConfig = field(default_factory=AlgoConfig)
     logging: LoggingConfig = field(default_factory=LoggingConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
 
     num_envs: int = 4096
     eval_num_envs: int = 150

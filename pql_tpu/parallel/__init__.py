@@ -1,5 +1,13 @@
-"""Device mesh construction and sharding rules."""
+"""Device mesh construction, sharding rules, and multi-host init."""
 
+from pql_tpu.parallel.distributed import initialize, is_primary, replicate
 from pql_tpu.parallel.mesh import make_mesh, state_pspecs, state_shardings
 
-__all__ = ["make_mesh", "state_pspecs", "state_shardings"]
+__all__ = [
+    "initialize",
+    "is_primary",
+    "make_mesh",
+    "replicate",
+    "state_pspecs",
+    "state_shardings",
+]

@@ -1,0 +1,94 @@
+"""Multi-host (multi-process) initialization and helpers.
+
+The reference scales within ONE host: Ray pins the V/P learners to other
+GPUs of the same machine and ships tensors through the object store
+(reference scripts/train_pql.py:29-51, pql/algo/pql_v_learner.py:21); there
+is no NCCL/MPI/cross-host path anywhere in the repo (SURVEY §2.9). The
+TPU-native scale-out is one *process per host* joined into a single SPMD
+program by ``jax.distributed``:
+
+- every process calls :func:`initialize` before the first backend query;
+- ``jax.devices()`` then returns the devices of ALL processes, so
+  :func:`pql_tpu.parallel.make_mesh` builds a global 1-D env mesh spanning
+  hosts;
+- the env axis (and with it replay shards and per-env carries) is laid out
+  over that mesh; rms ``psum`` and grad ``pmean`` become ICI collectives
+  within a slice and DCN collectives across slices — no code changes in
+  the algorithms, the same `shard_map` program just runs wider;
+- only process 0 logs/evaluates verbosely (``is_primary``).
+
+On a real TPU pod slice ``jax.distributed.initialize()`` needs no
+arguments — coordinator discovery comes from the TPU metadata. On
+CPU/GPU (and in the multi-process CPU test, tests/test_multihost.py) the
+coordinator address / process count / process id must be passed
+explicitly, mirroring torchrun-style env vars.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+
+
+_ENV_COORD = "PQL_COORDINATOR"
+_ENV_NPROC = "PQL_NUM_PROCESSES"
+_ENV_PID = "PQL_PROCESS_ID"
+
+
+def initialize(cfg=None) -> bool:
+    """Join this process into the jax.distributed job if configured.
+
+    Returns True when running multi-process. Safe to call when already
+    initialized (no-op) or single-process (no-op). Must run before any
+    jax backend query — scripts/train.py calls it first thing in main().
+
+    Sources, in priority order:
+    1. cfg.dist.* (coordinator_address / num_processes / process_id)
+    2. PQL_COORDINATOR / PQL_NUM_PROCESSES / PQL_PROCESS_ID env vars
+    3. cfg.dist.auto_tpu_pod: bare ``jax.distributed.initialize()`` for
+       TPU-pod metadata discovery.
+    """
+    d = getattr(cfg, "dist", None) if cfg is not None else None
+    coord = (d and d.coordinator_address) or os.environ.get(_ENV_COORD)
+    nproc = (d and d.num_processes) or os.environ.get(_ENV_NPROC)
+    pid = os.environ.get(_ENV_PID) if (d is None or d.process_id is None) else d.process_id
+
+    state = jax._src.distributed.global_state
+    if state.client is not None:  # already initialized
+        return jax.process_count() > 1
+
+    if coord and nproc is not None:
+        # cross-process CPU collectives need gloo (the multi-process CPU
+        # test path; the setting only affects the CPU backend, so it is
+        # harmless on TPU). NOTE: must not query jax.default_backend()
+        # here — that would initialize the backend before initialize().
+        if "cpu" in (jax.config.jax_platforms or "cpu"):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid) if pid is not None else None,
+        )
+        return jax.process_count() > 1
+    if d is not None and getattr(d, "auto_tpu_pod", False):
+        jax.distributed.initialize()  # TPU metadata discovery
+        return jax.process_count() > 1
+    return False
+
+
+def is_primary() -> bool:
+    """True on the process that should own logging/eval-artifact IO."""
+    return jax.process_index() == 0
+
+
+def replicate(tree: Any, mesh) -> Any:
+    """device_put a host-local pytree as fully-replicated global arrays on
+    ``mesh`` — required in multi-process mode where jit inputs must be
+    global arrays (every process passes the same host value, e.g. the same
+    seed-derived PRNGKey)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -23,6 +23,12 @@ class RunLogger:
         self._wandb = None
         self._file = None
         self.run_dir = None
+        # multi-host: only process 0 owns sinks (run_dir stays None on the
+        # others, which also gates best-model snapshot writes in train.py)
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            self.mode = "off"
         if self.mode == "off":
             return
         run_name = cfg.logging.run_name or f"{cfg.task}_{cfg.algo.name}_{int(self.start_time)}"

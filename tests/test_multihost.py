@@ -1,0 +1,100 @@
+"""Multi-process (multi-"host") training without a cluster.
+
+Two OS processes × 4 virtual CPU devices join one jax.distributed job and
+run the fused PQL program over the global 8-device mesh — the laptop
+analog of one-process-per-host on a TPU pod (SURVEY §2.8: envs + replay
+sharded across hosts, grads pmean'd over ICI/DCN; the reference has no
+cross-host path at all, SURVEY §2.9). Asserts:
+
+1. both processes hold bitwise-identical replicated params afterwards
+   (the collectives actually synchronized them), and
+2. the result matches a single-process run over the same 8-device mesh
+   (process boundaries change nothing but reduction transport).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "mp_pql_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_cpu_pql_matches_single_process():
+    port = _free_port()
+    env = os.environ.copy()
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count (4)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, f"localhost:{port}", "2", str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+            cwd=REPO,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    results = {}
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("MPRESULT ")]
+        assert lines, f"no MPRESULT in worker output:\n{out[-4000:]}"
+        r = json.loads(lines[0][len("MPRESULT "):])
+        results[r["process"]] = r
+
+    r0, r1 = results[0], results[1]
+    assert r0["n_devices"] == 8 and r0["n_processes"] == 2
+    # 1. the two processes agree bitwise — params really are replicated
+    assert r0["actor_sha"] == r1["actor_sha"]
+    assert r0["env_steps"] == r1["env_steps"]
+
+    # 2. same mesh, single process (this test process has the virtual
+    # 8-device CPU mesh from conftest) — multi-process must reproduce it
+    import jax
+
+    from pql_tpu.algos.pql import PQL
+    from pql_tpu.cfg import make_config
+    from pql_tpu.parallel import make_mesh
+
+    cfg = make_config(
+        "pql",
+        task="PointMass",
+        num_envs=16,
+        algo__batch_size=64,
+        algo__memory_size=4096,
+        algo__warm_up=4,
+        algo__horizon_len=1,
+        logging__mode="off",
+    )
+    agent = PQL(cfg, mesh=make_mesh(8))
+    state = agent.init(jax.random.PRNGKey(3))
+    state, _ = agent.warmup(state)
+    for _ in range(2):
+        state, _ = agent.train_iter(state)
+
+    assert int(state.env_steps) == r0["env_steps"]
+    assert int(state.critic_update_count) == r0["critic_updates"]
+    np.testing.assert_allclose(
+        float(np.asarray(state.actor_params).sum()), r0["actor_sum"], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(state.obs_rms.mean).sum()), r0["rms_mean_sum"], rtol=1e-5
+    )
