@@ -26,14 +26,36 @@ def save_checkpoint(path: str, tree: Any) -> None:
 
 def load_checkpoint(path: str, target: Any | None = None) -> Any:
     """Restore a checkpoint; pass `target` (a matching pytree of arrays)
-    to get proper types/shardings back."""
+    to get proper types/shardings back (restore args are constructed from
+    the target so sharded train states come back with their mesh layout)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
     if target is None:
         return ckptr.restore(path)
-    return ckptr.restore(path, args=ocp.args.PyTreeRestore(item=target))
+    restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+    return ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(item=target, restore_args=restore_args)
+    )
+
+
+def maybe_resume_full_state(cfg, state):
+    """Preemption recovery: if ``cfg.checkpoint_dir/state`` holds a full
+    train-state checkpoint (written by the periodic save in
+    scripts/train.py), restore it into the freshly-built state and return
+    (state, True). The freshly-built state supplies shapes/dtypes/
+    shardings; every leaf — params, optimizer moments, rms, replay ring,
+    env state, rng, counters — is overwritten from disk, so training
+    continues bitwise-identically to an uninterrupted run. This is the
+    recovery path the reference lacks (its checkpoints are weights-only
+    wandb artifacts, model_util.py:24-41)."""
+    if not cfg.checkpoint_dir:
+        return state, False
+    path = os.path.join(cfg.checkpoint_dir, "state")
+    if not os.path.exists(path):
+        return state, False
+    return load_checkpoint(path, target=state), True
 
 
 def save_model_snapshot(path: str, actor_params, critic_params, obs_rms) -> None:

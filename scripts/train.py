@@ -31,6 +31,7 @@ enable_compilation_cache()
 from pql_tpu.envs import make_eval_env
 from pql_tpu.utils.checkpoint import (
     load_model_snapshot,
+    maybe_resume_full_state,
     restore_into_state,
     save_checkpoint,
     save_model_snapshot,
@@ -81,15 +82,27 @@ def train_pql(cfg, logger: RunLogger) -> None:
     agent = PQL(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     k_init, k_eval = jax.random.split(rng)
+    if jax.process_count() > 1:
+        # multi-process jit inputs must be global arrays; the seed-derived
+        # key is identical on every process, so replicate it on the mesh
+        from pql_tpu.parallel import replicate
+
+        k_init = replicate(k_init, agent.mesh)
     state = agent.init(k_init)
     if cfg.artifact:  # weights-only resume (reference model_util.py:9-21)
         state = restore_into_state(state, load_model_snapshot(cfg.artifact))
+    # full-state preemption recovery: continue from checkpoint_dir/state
+    # if one exists (params+opt+rms+replay+rng+counters)
+    state, resumed = maybe_resume_full_state(cfg, state)
 
     evaluator = Evaluator(cfg, make_eval_env(cfg), agent.eval_actor_apply)
-    state, _ = agent.warmup(state)
+    if not resumed:
+        state, _ = agent.warmup(state)
 
     best_ret = float("-inf")
-    it = 0
+    it = (
+        int(state.env_steps) // (cfg.algo.horizon_len * cfg.num_envs) if resumed else 0
+    )
     last_log = time.time()
     profiler = _ProfilerHook(cfg)
     while True:
@@ -148,13 +161,16 @@ def train_baseline(cfg, logger: RunLogger) -> None:
     state = agent.init(k_init)
     if cfg.artifact:
         state = restore_into_state(state, load_model_snapshot(cfg.artifact))
+    state, resumed = maybe_resume_full_state(cfg, state)
 
     evaluator = Evaluator(cfg, make_eval_env(cfg), agent.eval_actor_apply)
-    if hasattr(agent, "warmup"):
+    if hasattr(agent, "warmup") and not resumed:
         state, _ = agent.warmup(state)
 
     best_ret = float("-inf")
-    it = 0
+    it = (
+        int(state.env_steps) // (cfg.algo.horizon_len * cfg.num_envs) if resumed else 0
+    )
     last_log = time.time()
     profiler = _ProfilerHook(cfg)
     while True:
@@ -188,6 +204,13 @@ def train_baseline(cfg, logger: RunLogger) -> None:
 
 def main(argv: list[str]) -> None:
     cfg = parse_cli(argv)
+    # multi-host: join the jax.distributed job BEFORE the first backend
+    # query so jax.devices() spans all hosts and make_mesh builds the
+    # global env mesh (pql_tpu/parallel/distributed.py; single-process
+    # runs are a no-op here)
+    from pql_tpu.parallel import initialize as dist_initialize
+
+    dist_initialize(cfg)
     logger = RunLogger(cfg, to_dict(cfg))
     try:
         if cfg.algo.name == "PQL":
