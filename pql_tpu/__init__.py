@@ -25,10 +25,12 @@ Subpackages
                          schedules) incl. Pallas TPU kernels
 - ``pql_tpu.algos``    — PQL (fused SPMD step), DDPG, SAC, PPO, CrossQ, and
                          the multi-agent research tier
-- ``pql_tpu.parallel`` — mesh construction and sharding rules
+- ``pql_tpu.parallel`` — mesh construction, sharding rules, multi-host init
 - ``pql_tpu.utils``    — trackers, checkpointing, logging, evaluation
-- ``pql_tpu.runtime``  — native (C++) host runtime: telemetry ring,
-                         timers, prioritized-sampling sum-tree
+- ``pql_tpu.native``   — native (C++) host-RAM replay ring for
+                         vision-scale off-policy data (the analog of the
+                         reference's fp16-on-CPU ``reserve_space`` buffers,
+                         pql/replay/simple_replay.py:8-15)
 """
 
 __version__ = "0.1.0"

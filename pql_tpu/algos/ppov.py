@@ -95,6 +95,16 @@ class PPOV:
         env_state, obs = env.reset(k_env)
         img, proprio, pc = self._visual_obs(env_state)
         actor_params = self.actor.init(k_a, img, proprio, pc)
+        if cfg.algo.encoder_weights:
+            # local pretrained-encoder hook (the air-gap analog of the
+            # reference's ImageNet/DINOv2 downloads, visual.py:183-210)
+            from pql_tpu.models.pretrained import merge_pretrained
+
+            actor_params, report = merge_pretrained(actor_params, cfg.algo.encoder_weights)
+            if not report["loaded"]:
+                raise ValueError(
+                    f"encoder_weights={cfg.algo.encoder_weights} matched no params: {report}"
+                )
         critic_params = self.critic.init(k_c, jnp.zeros((1, env.obs_dim)))
         return PPOVState(
             actor_params=actor_params,

@@ -9,6 +9,17 @@ framework's own native pieces:
   fp16-on-CPU ``reserve_space`` observation store
   (pql/replay/simple_replay.py:8-15).
 
+Integration status: HostReplay is a TESTED, READY utility
+(tests/test_native.py) that no training loop currently instantiates —
+deliberately, and in exact parity with the reference, where
+``reserve_space=True`` likewise has zero callers (no agent or script
+passes it; verified 2026-08). The on-HBM sharded ring
+(pql_tpu.replay.buffer) covers every live workload; HostReplay is the
+escape hatch for a future off-policy VISION agent whose image replay
+exceeds HBM — at which point the update loop samples host batches here
+and device_puts them per critic step, exactly the reference's
+cpu_indices → .to(device) path (simple_replay.py:85-104).
+
 The shared library is compiled on first use from ``native/host_ring.cpp``
 with the image's g++ and cached next to the source; no pip packages
 involved (pybind11 is not available — plain C ABI + ctypes).

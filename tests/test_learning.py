@@ -1,0 +1,81 @@
+"""Learning-threshold tests (SURVEY §4: 'DDPG/SAC/PPO/PQL on a
+trivially-solvable jitted toy env must reach threshold return').
+
+These train for real on the virtual CPU mesh — marked slow. Thresholds
+are deliberately loose (well above random, well below optimum) so the
+tests assert *learning happens*, not hyperparameter luck:
+
+- Cartpole optimum ≈ 500 (alive bonus × episode length); random ≈ 20.
+- Pendulum-style PointMass: random return ≈ -40, solved ≈ -5.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pql_tpu.cfg import make_config
+
+
+def _eval_return(agent, state, env, n_steps=None):
+    """Deterministic-policy eval return, averaged over envs."""
+    import jax.numpy as jnp
+
+    from pql_tpu.utils.evaluator import Evaluator
+
+    ev = Evaluator(agent.cfg, env, agent.eval_actor_apply)
+    params = state.actor_params
+    m = ev.eval_policy(params, state.obs_rms, jax.random.PRNGKey(123))
+    return m["eval/return"]
+
+
+@pytest.mark.slow
+def test_pql_learns_cartpole():
+    from pql_tpu.algos.pql import PQL
+    from pql_tpu.envs import make_eval_env
+    from pql_tpu.parallel import make_mesh
+
+    cfg = make_config(
+        "pql",
+        task="Cartpole",
+        num_envs=256,
+        eval_num_envs=32,
+        algo__batch_size=1024,
+        algo__memory_size=200_000,
+        algo__warm_up=16,
+        logging__mode="off",
+    )
+    agent = PQL(cfg, mesh=make_mesh(8))
+    state = agent.init(jax.random.PRNGKey(0))
+    state, _ = agent.warmup(state)
+    for _ in range(150):
+        state, metrics = agent.train_iter(state)
+    ret = _eval_return(agent, state, make_eval_env(cfg))
+    assert ret > 250.0, f"PQL failed to learn Cartpole: eval return {ret}"
+
+
+@pytest.mark.slow
+def test_ddpg_learns_pointmass():
+    from pql_tpu.algos.ddpg import DDPG
+    from pql_tpu.envs import make_env, make_eval_env
+
+    cfg = make_config(
+        "ddpg",
+        task="PointMass",
+        num_envs=128,
+        eval_num_envs=32,
+        algo__batch_size=512,
+        algo__memory_size=100_000,
+        algo__warm_up=32,
+        algo__update_times=4,
+        logging__mode="off",
+    )
+    agent = DDPG(cfg, make_env(cfg))
+    state = agent.init(jax.random.PRNGKey(0))
+    state, _ = agent.warmup(state)
+    ret0 = _eval_return(agent, state, make_eval_env(cfg))
+    for _ in range(200):
+        state, metrics = agent.train_iter(state)
+    ret = _eval_return(agent, state, make_eval_env(cfg))
+    assert ret > ret0 + 2.0 and ret > -12.0, (
+        f"DDPG failed to learn PointMass: {ret0} -> {ret}"
+    )
