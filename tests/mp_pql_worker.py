@@ -16,12 +16,15 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=4").strip()
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # see tests/conftest.py — 1-core boxes starve rendezvous threads
+    flags += " --xla_cpu_collective_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_threefry_partitionable", True)
+jax.config.update("jax_platforms", "cpu")  # threefry_partitionable off — see conftest.py
 jax.config.update("jax_compilation_cache_dir", "/tmp/pql_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

@@ -3,10 +3,10 @@ trivially-solvable jitted toy env must reach threshold return').
 
 These train for real on the virtual CPU mesh — marked slow. Thresholds
 are deliberately loose (well above random, well below optimum) so the
-tests assert *learning happens*, not hyperparameter luck:
-
-- Cartpole optimum ≈ 500 (alive bonus × episode length); random ≈ 20.
-- Pendulum-style PointMass: random return ≈ -40, solved ≈ -5.
+tests assert *learning happens*, not hyperparameter luck. Cartpole
+optimum ≈ 500 (alive bonus × episode length); random ≈ 20-90.
+Calibrated 2026-08-17 on this image: PQL@256envs reaches ~446 by 150
+iters (~3 min), DDPG@64envs reaches ~499 by 200 iters (~1.5 min).
 """
 
 import jax
@@ -54,28 +54,25 @@ def test_pql_learns_cartpole():
 
 
 @pytest.mark.slow
-def test_ddpg_learns_pointmass():
+def test_ddpg_learns_cartpole():
     from pql_tpu.algos.ddpg import DDPG
     from pql_tpu.envs import make_env, make_eval_env
 
     cfg = make_config(
         "ddpg",
-        task="PointMass",
-        num_envs=128,
+        task="Cartpole",
+        num_envs=64,
         eval_num_envs=32,
         algo__batch_size=512,
         algo__memory_size=100_000,
         algo__warm_up=32,
-        algo__update_times=4,
+        algo__update_times=8,
         logging__mode="off",
     )
     agent = DDPG(cfg, make_env(cfg))
     state = agent.init(jax.random.PRNGKey(0))
     state, _ = agent.warmup(state)
-    ret0 = _eval_return(agent, state, make_eval_env(cfg))
-    for _ in range(200):
+    for _ in range(250):
         state, metrics = agent.train_iter(state)
     ret = _eval_return(agent, state, make_eval_env(cfg))
-    assert ret > ret0 + 2.0 and ret > -12.0, (
-        f"DDPG failed to learn PointMass: {ret0} -> {ret}"
-    )
+    assert ret > 400.0, f"DDPG failed to learn Cartpole: eval return {ret}"

@@ -6,7 +6,9 @@ API they consume)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+
 import pytest
+pytestmark = pytest.mark.slow  # compile-heavy: EQ/team/vision/diffusion agents (see pytest.ini)
 
 from pql_tpu.cfg import make_config
 from pql_tpu.envs import VecEnv, make_task

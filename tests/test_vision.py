@@ -5,7 +5,9 @@ pql/algo/ppoV.py, ippoV.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+
 import pytest
+pytestmark = pytest.mark.slow  # compile-heavy: EQ/team/vision/diffusion agents (see pytest.ini)
 
 from pql_tpu.cfg import make_config
 from pql_tpu.envs import VecEnv, make_env, make_task
