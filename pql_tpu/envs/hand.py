@@ -46,16 +46,23 @@ FINGER_BASE_Z = 0.035
 
 
 def hand_model(dt: float = 1.0 / 480.0, n_fingers: int = N_FINGERS) -> RigidBodyModel:
-    """n_fingers × 4 curl hinges anchored to the world + a free cube.
+    """n_fingers × (1 abduction + 3 curl) hinges anchored at the palm rim
+    + a free cube — the real Allegro DOF layout (4 DOF/finger, of which
+    the proximal joint swings the finger sideways).
 
     Bodies 0..n_dof-1: finger links (parent chains anchored at the palm
-    rim, pointing inward, curl axis = rim tangent); last body: the cube.
-    4 fingers = the Allegro hand; 5 = the Shadow-hand analog.
+    rim, pointing inward; link 0's hinge axis is the palm normal
+    [abduction], links 1-3 curl about the rim tangent); last body: the
+    cube. Abduction is what lets the fingertips drag the cube about the
+    vertical axis — with 4 pure-curl joints, yaw reorientation targets
+    are nearly unreachable. 4 fingers = the Allegro hand; 5 = the
+    Shadow-hand analog.
     """
     parent, joint_type, joint_axis, tree_pos = [], [], [], []
     mass, com, inertia, geoms = [], [], [], []
 
     m_link = 0.06
+    z = np.array([0.0, 0.0, 1.0])  # palm normal = abduction axis
     for f in range(n_fingers):
         phi = np.pi / 4 + f * 2 * np.pi / n_fingers  # rim anchors
         d = np.array([np.cos(phi), np.sin(phi), 0.0])  # outward
@@ -64,7 +71,7 @@ def hand_model(dt: float = 1.0 / 480.0, n_fingers: int = N_FINGERS) -> RigidBody
             body = f * LINKS_PER_FINGER + l
             parent.append(-1 if l == 0 else body - 1)
             joint_type.append(HINGE)
-            joint_axis.append(t)
+            joint_axis.append(z if l == 0 else t)
             tree_pos.append(
                 np.array([*(FINGER_BASE_R * d[:2]), FINGER_BASE_Z])
                 if l == 0
@@ -93,8 +100,12 @@ def hand_model(dt: float = 1.0 / 480.0, n_fingers: int = N_FINGERS) -> RigidBody
     limit_lo = np.full(nv, -np.inf, np.float32)
     limit_hi = np.full(nv, np.inf, np.float32)
     for dof in range(n_dof):
-        # curl range: slightly hyperextended to closed fist
-        limit_lo[dof], limit_hi[dof] = -0.3, 1.6
+        if dof % LINKS_PER_FINGER == 0:
+            # abduction: ±0.47 rad (Allegro joint-0 spec)
+            limit_lo[dof], limit_hi[dof] = -0.47, 0.47
+        else:
+            # curl range: slightly hyperextended to closed fist
+            limit_lo[dof], limit_hi[dof] = -0.3, 1.6
     damping = np.zeros(nv, np.float32)
     damping[:n_dof] = 0.08
     armature = np.zeros(nv, np.float32)
@@ -173,9 +184,11 @@ class AllegroHand:
         m = self.model
         k1, k2, k3 = jax.random.split(rng, 3)
         q = jnp.asarray(m.neutral_q())
-        # fingers slightly curled
+        # fingers slightly curled; abduction joints (every 4th dof) centered
+        is_abduct = (jnp.arange(self.n_dof) % LINKS_PER_FINGER) == 0
         q = q.at[: self.n_dof].set(
-            0.2 + jax.random.uniform(k1, (self.n_dof,), jnp.float32, -0.1, 0.1)
+            jnp.where(is_abduct, 0.0, 0.2)
+            + jax.random.uniform(k1, (self.n_dof,), jnp.float32, -0.1, 0.1)
         )
         # cube resting above the palm center
         q = q.at[self.cube_q : self.cube_q + 3].set(
