@@ -38,16 +38,16 @@ from pql_tpu.utils.checkpoint import (
 )
 
 
+from pql_tpu.utils.evaluator import Evaluator
+from pql_tpu.utils.logging import RunLogger
+
+
 def _maybe_full_checkpoint(cfg, it: int, state) -> None:
     """Periodic FULL-state checkpoint (params+opt+rms+replay+counters) —
     the preemption-resume path the reference lacks (SURVEY §5: reference
     checkpoints are weights-only wandb artifacts)."""
     if cfg.checkpoint_dir and cfg.checkpoint_freq and it % cfg.checkpoint_freq == 0:
         save_checkpoint(os.path.join(cfg.checkpoint_dir, "state"), state)
-from pql_tpu.utils.evaluator import Evaluator
-from pql_tpu.utils.logging import RunLogger
-
-
 
 
 class _ProfilerHook:
