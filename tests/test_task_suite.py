@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compiles every task's physics (AllegroHand alone ~2 min CPU)
+
 from pql_tpu.envs import TASK_REGISTRY, VecEnv, make_task
 
 ALL_TASKS = sorted(TASK_REGISTRY)
