@@ -260,6 +260,23 @@ class PQL:
         # warm-up: random exploration, no learning (train_pql.py:58)
         self.warmup = make_step(cfg.algo.warm_up, True, 0, 0)
 
+    def set_ratios(self, critic_sample_ratio: int, critic_actor_ratio: int) -> None:
+        """Re-jit the fused step with new update ratios, mid-training.
+
+        The TPU analog of the reference's runtime rate controller
+        (train_pql.py:127-158): ratios are exact static integers compiled
+        into the step, so adapting them means rebuilding the jitted
+        programs (cheap under the persistent compilation cache). The train
+        state is a jit INPUT — params, optimizer, replay, rng and counters
+        carry over untouched, so training continues seamlessly at the new
+        ratios (tested: tests/test_algos.py ratio-switch counter test).
+        """
+        self.cfg.algo.critic_sample_ratio = int(critic_sample_ratio)
+        self.cfg.algo.critic_actor_ratio = int(critic_actor_ratio)
+        self.n_critic = int(critic_sample_ratio)
+        self.n_actor = max(self.n_critic // int(critic_actor_ratio), 1)
+        self._build_jitted()
+
     # ---------------------------------------------------------------- init
 
     def _init_global(self, rng) -> PQLState:

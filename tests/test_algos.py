@@ -63,6 +63,28 @@ class TestPQLFused:
         for v in metrics.values():
             assert bool(jnp.isfinite(v))
 
+    def test_set_ratios_rejits_and_training_continues(self):
+        """Host-side ratio adaptation (the reference controller's analog,
+        train_pql.py:127-158): set_ratios re-jits the step; the state is a
+        jit input so params/replay/counters carry straight over."""
+        from pql_tpu.algos.pql import PQL
+
+        agent = PQL(tiny_cfg("pql"))
+        state = agent.init(jax.random.PRNGKey(0))
+        state, _ = agent.warmup(state)
+        for _ in range(2):
+            state, _ = agent.train_iter(state)
+        params_mid = np.asarray(state.actor_params).copy()
+        agent.set_ratios(4, 2)
+        for _ in range(2):
+            state, metrics = agent.train_iter(state)
+        assert int(state.critic_update_count) == 2 * 8 + 2 * 4
+        assert int(state.actor_update_count) == 2 * 4 + 2 * 2
+        # training really continued: params moved and stayed finite
+        assert not np.array_equal(np.asarray(state.actor_params), params_mid)
+        for v in metrics.values():
+            assert bool(jnp.isfinite(v))
+
     def test_deterministic_given_seed(self, agent_state):
         agent, _ = agent_state
 
