@@ -279,6 +279,13 @@ class Config:
     num_devices: int | None = None
     mesh_axis: str = "env"
 
+    # Force a JAX backend ("cpu"/"tpu"); None = image default. Needed as a
+    # cfg (not env var) because this image's site hook pre-selects
+    # jax_platforms at interpreter start, so JAX_PLATFORMS from the shell
+    # is ignored — only jax.config.update before the first backend query
+    # works (same mechanism as tests/conftest.py).
+    platform: str | None = None
+
     checkpoint_dir: str | None = None
     checkpoint_freq: int = 0  # in outer iterations; 0 = only best-eval saves
 
@@ -427,7 +434,16 @@ def parse_cli(argv: list[str], base: Config | None = None) -> Config:
     for k, v in rest:
         _set_dotted(cfg, k, v)
         overrode.add(k)
-    return preprocess_config(cfg, overrode)
+    cfg = preprocess_config(cfg, overrode)
+    if cfg.platform:
+        # force the backend here, while no backend is initialized yet —
+        # every CLI entry point parses its config before touching jax
+        # (see Config.platform: the image's site hook makes JAX_PLATFORMS
+        # from the shell a no-op)
+        import jax
+
+        jax.config.update("jax_platforms", cfg.platform)
+    return cfg
 
 
 def make_config(algo: str = "pql", **overrides: Any) -> Config:

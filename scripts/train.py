@@ -203,7 +203,7 @@ def train_baseline(cfg, logger: RunLogger) -> None:
 
 
 def main(argv: list[str]) -> None:
-    cfg = parse_cli(argv)
+    cfg = parse_cli(argv)  # handles platform= backend forcing
     # multi-host: join the jax.distributed job BEFORE the first backend
     # query so jax.devices() spans all hosts and make_mesh builds the
     # global env mesh (pql_tpu/parallel/distributed.py; single-process
