@@ -106,6 +106,16 @@ class AlgoConfig:
     # --- PQL ratios (pql_algo.yaml:17-18) ---
     critic_actor_ratio: int = 2
     critic_sample_ratio: int = 8
+    # Adaptive target-ratio control (pql_tpu/utils/ratio_control.py): on
+    # an eval-return stall, escalate critic_sample_ratio ×adapt_factor up
+    # to adapt_max_ratio via PQL.set_ratios (host-side re-jit). The fused
+    # design's analog of the reference's feedback controller
+    # (train_pql.py:127-158) — see the module docstring for why the
+    # adapted quantity differs.
+    adaptive_ratios: bool = False
+    adapt_window: int = 6
+    adapt_factor: int = 2
+    adapt_max_ratio: int = 32
     # --- PQL-D distributional (pql_algo.yaml:36-39) ---
     distl: bool = False
     v_min: float = -10.0

@@ -99,6 +99,18 @@ def train_pql(cfg, logger: RunLogger) -> None:
     if not resumed:
         state, _ = agent.warmup(state)
 
+    ratio_ctl = None
+    if cfg.algo.adaptive_ratios:
+        from pql_tpu.utils.ratio_control import RatioController
+
+        ratio_ctl = RatioController(
+            agent.n_critic,
+            cfg.algo.critic_actor_ratio,
+            window=cfg.algo.adapt_window,
+            factor=cfg.algo.adapt_factor,
+            max_ratio=cfg.algo.adapt_max_ratio,
+        )
+
     best_ret = float("-inf")
     it = (
         int(state.env_steps) // (cfg.algo.horizon_len * cfg.num_envs) if resumed else 0
@@ -123,6 +135,11 @@ def train_pql(cfg, logger: RunLogger) -> None:
         if it % max(cfg.algo.eval_freq, 1) == 0:
             k_eval, k = jax.random.split(k_eval)
             eval_metrics = evaluator.eval_policy(state.actor_params, state.obs_rms, k)
+            if ratio_ctl is not None:
+                new_ratios = ratio_ctl.update(float(eval_metrics["eval/return"]))
+                if new_ratios is not None:
+                    agent.set_ratios(*new_ratios)
+                    eval_metrics["train/critic_sample_ratio"] = new_ratios[0]
             logger.log(eval_metrics, step=int(state.env_steps))
             if eval_metrics["eval/return"] > best_ret and logger.run_dir:
                 best_ret = eval_metrics["eval/return"]

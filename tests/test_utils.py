@@ -254,3 +254,45 @@ class TestSnapshotRestore:
         # restored replay keeps its env-axis sharding
         leaf = s2.replay.data if hasattr(s2.replay, "data") else jax.tree_util.tree_leaves(s2.replay)[0]
         assert len(getattr(leaf, "addressable_shards", [None])) in (1, 4)
+
+
+class TestRatioController:
+    """Host-side adaptive ratio escalation (pql_tpu/utils/ratio_control.py;
+    the fused-design analog of reference train_pql.py:127-158)."""
+
+    def _ctl(self, **kw):
+        from pql_tpu.utils.ratio_control import RatioController
+
+        return RatioController(8, 2, window=4, **kw)
+
+    def test_no_escalation_while_improving(self):
+        ctl = self._ctl()
+        for r in [0.0, 10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0]:
+            assert ctl.update(r) is None
+        assert ctl.critic_sample_ratio == 8
+
+    def test_escalates_on_stall(self):
+        ctl = self._ctl()
+        out = None
+        for r in [0.0, 100.0] + [101.0] * 4:  # climb then flatline
+            out = ctl.update(r) or out
+        assert out == (16, 2)
+        assert ctl.critic_sample_ratio == 16
+
+    def test_cap_respected(self):
+        ctl = self._ctl(max_ratio=16)
+        for r in [0.0, 100.0] + [100.0] * 30:
+            ctl.update(r)
+        assert ctl.critic_sample_ratio == 16  # one escalation, then capped
+
+    def test_window_resets_after_escalation(self):
+        ctl = self._ctl()
+        for r in [0.0, 100.0] + [100.0] * 4:
+            ctl.update(r)
+        assert ctl.critic_sample_ratio == 16
+        # immediately after a change, fewer than `window` samples exist —
+        # no double-fire until a fresh window fills at the new ratios
+        for _ in range(3):
+            assert ctl.update(100.0) is None
+        # a persistent stall DOES re-fire once the new window fills
+        assert ctl.update(100.0) == (32, 2)
