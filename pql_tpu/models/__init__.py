@@ -23,6 +23,9 @@ from pql_tpu.models.emlp import (
     DiagGaussianEquivariantMLPPolicy,
     MLPCriticEquivariant,
     DoubleQEquivariant,
+    FiniteGroup,
+    GroupEquivariantLinear,
+    GroupEMLP,
 )
 from pql_tpu.models.diffusion import (
     DiffusionNet,

@@ -247,3 +247,93 @@ class TestEQS4AndMP:
         state = agent.init(rng)
         state, metrics = run_iters(agent, state, n=1)
         assert np.isfinite(float(metrics["train/actor_loss"]))
+
+
+class TestGeneralFiniteGroups:
+    """General-group tier (FiniteGroup/GroupEMLP) — escnn-parity scope
+    beyond the C2 the reference configs instantiate."""
+
+    def _c4(self):
+        from pql_tpu.models.emlp import FiniteGroup, cyclic_rotation2d
+
+        rot = cyclic_rotation2d(4)
+        return FiniteGroup(obs=[rot], act=[rot])
+
+    def _d4(self):
+        from pql_tpu.models.emlp import FiniteGroup, cyclic_rotation2d, sign_rep
+
+        rot = cyclic_rotation2d(4)
+        refl = sign_rep([1.0, -1.0])
+        return FiniteGroup(obs=[rot, refl], act=[rot, refl])
+
+    def test_closure_orders(self):
+        from pql_tpu.models.emlp import FiniteGroup, sign_rep
+
+        assert self._c4().order == 4
+        assert self._d4().order == 8
+        assert FiniteGroup(obs=[sign_rep([-1.0, 1.0])]).order == 2
+
+    def test_index_alignment_across_spaces(self):
+        import numpy as np
+
+        g = self._d4()
+        obs, act = g.elements("obs"), g.elements("act")
+        # same generators in both spaces here, so element lists must match
+        np.testing.assert_allclose(np.asarray(obs), np.asarray(act))
+
+    def test_group_emlp_equivariant_head(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pql_tpu.models.emlp import GroupEMLP
+
+        for grp in (self._c4(), self._d4()):
+            net = GroupEMLP(
+                elems_in=grp.elements("obs"),
+                out=grp.elements("act"),
+                mul=grp.mul,
+                hidden_units=16,
+                num_layers=3,
+            )
+            x = jax.random.normal(jax.random.PRNGKey(0), (5, 2))
+            params = net.init(jax.random.PRNGKey(1), x)
+            y = net.apply(params, x)
+            for e in grp.elements("obs"):
+                ge = jnp.asarray(np.asarray(e, np.float32))
+                y_g = net.apply(params, x @ ge)
+                np.testing.assert_allclose(
+                    np.asarray(y_g), np.asarray(y @ ge), atol=2e-5
+                )
+
+    def test_group_emlp_invariant_head(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pql_tpu.models.emlp import GroupEMLP
+
+        grp = self._d4()
+        net = GroupEMLP(
+            elems_in=grp.elements("obs"), out=3, mul=grp.mul,
+            hidden_units=16, num_layers=3,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (5, 2))
+        params = net.init(jax.random.PRNGKey(1), x)
+        y = net.apply(params, x)
+        for e in grp.elements("obs"):
+            ge = jnp.asarray(np.asarray(e, np.float32))
+            np.testing.assert_allclose(
+                np.asarray(net.apply(params, x @ ge)), np.asarray(y), atol=2e-5
+            )
+
+    def test_regular_rep_is_permutation_homomorphism(self):
+        import numpy as np
+
+        grp = self._d4()
+        regs = [np.asarray(r, np.float32) for r in grp.regular_elements(1)]
+        for i in range(grp.order):
+            for j in range(grp.order):
+                np.testing.assert_allclose(
+                    regs[i] @ regs[j], regs[grp.mul[i][j]], atol=1e-6
+                )
