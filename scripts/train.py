@@ -73,6 +73,13 @@ class _ProfilerHook:
                 self.cfg.profile_dir = None  # one capture per run
                 self.active = False
 
+    def close(self) -> None:
+        """Flush a still-open trace when the run ends before profile_iters
+        ticks — otherwise the capture is silently lost."""
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+
 
 def train_pql(cfg, logger: RunLogger) -> None:
     """Fused SPMD PQL loop (reference scripts/train_pql.py:28-187, minus
@@ -152,6 +159,7 @@ def train_pql(cfg, logger: RunLogger) -> None:
         _maybe_full_checkpoint(cfg, it, state)
         if evaluator.check_if_should_stop(int(state.env_steps)):
             break
+    profiler.close()
 
 
 def _actor_params_of(state):
@@ -217,6 +225,7 @@ def train_baseline(cfg, logger: RunLogger) -> None:
         _maybe_full_checkpoint(cfg, it, state)
         if evaluator.check_if_should_stop(int(state.env_steps)):
             break
+    profiler.close()
 
 
 def main(argv: list[str]) -> None:
