@@ -103,6 +103,12 @@ def main(argv: list[str]) -> None:
     if not run_dirs:
         sys.exit("usage: learning_report.py <run_dir>... [thresholds=Task:val,...] [out=LEARNING.md]")
 
+    missing = [d for d in run_dirs if not os.path.exists(os.path.join(d, "metrics.jsonl"))]
+    for d in missing:
+        print(f"skipping {d}: no metrics.jsonl", file=sys.stderr)
+    run_dirs = [d for d in run_dirs if d not in missing]
+    if not run_dirs:
+        sys.exit("no usable run dirs")
     runs = [load_run(d) for d in run_dirs]
     rows = [summarize(r, thresholds.get(r["cfg"].get("task"))) for r in runs]
 
