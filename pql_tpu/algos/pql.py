@@ -466,11 +466,17 @@ class PQL:
                 loss = jnp.mean(jnp.square(q1 - target)) + jnp.mean(jnp.square(q2 - target))
             return loss
 
-        def critic_update(c, k):
+        def critic_update(c, bk):
             critic_params, critic_opt, critic_target = c
-            k_s, k_t = jax.random.split(jax.random.fold_in(k, ax))
-            batch = replay_sample(
-                replay, k_s, self.batch_local, sample_slots=cfg.algo.sample_slots
+            first, k_t = bk
+            # prefetch_batches: `first` is the pre-gathered batch; else the
+            # sample key (one gather per update). Key derivation identical.
+            batch = (
+                first
+                if cfg.algo.prefetch_batches
+                else replay_sample(
+                    replay, first, self.batch_local, sample_slots=cfg.algo.sample_slots
+                )
             )
             loss, grads = jax.value_and_grad(critic_loss_fn)(critic_params, batch, k_t)
             grads = jax.lax.pmean(grads, self.axis)
@@ -482,10 +488,28 @@ class PQL:
 
         if n_critic > 0:
             keys = jax.random.split(k_crit, n_critic)
+            k_ss, k_ts = jax.vmap(
+                lambda k: tuple(jax.random.split(jax.random.fold_in(k, ax)))
+            )(keys)
+            if cfg.algo.prefetch_batches:
+                # one wide [n_critic × batch] row-gather up front — the ring
+                # is static through the learner phases, so this is bitwise
+                # identical to per-update gathers (tested)
+                xs = (
+                    jax.vmap(
+                        lambda ks: replay_sample(
+                            replay, ks, self.batch_local,
+                            sample_slots=cfg.algo.sample_slots,
+                        )
+                    )(k_ss),
+                    k_ts,
+                )
+            else:
+                xs = (k_ss, k_ts)
             (critic_params, critic_opt, critic_target), c_losses = jax.lax.scan(
                 critic_update,
                 (state.critic_params, state.critic_opt, state.critic_target),
-                keys,
+                xs,
                 unroll=True,
             )
             critic_loss = jnp.mean(c_losses)
@@ -507,12 +531,15 @@ class PQL:
             )
             return -jnp.mean(q)
 
-        def actor_update(c, k):
+        def actor_update(c, x):
             actor_params, actor_opt = c
-            k_s = jax.random.fold_in(k, ax)
-            batch = replay_sample(
-                replay, k_s, self.batch_local, fields=("obs",),
-                sample_slots=cfg.algo.sample_slots,
+            batch = (
+                x
+                if cfg.algo.prefetch_batches
+                else replay_sample(
+                    replay, x, self.batch_local, fields=("obs",),
+                    sample_slots=cfg.algo.sample_slots,
+                )
             )
             obs_n = obs_rms.normalize_clip(batch["obs"]) if cfg.algo.obs_norm else batch["obs"]
             loss, grads = jax.value_and_grad(actor_loss_fn)(actor_params, obs_n)
@@ -524,8 +551,18 @@ class PQL:
 
         if n_actor > 0:
             keys = jax.random.split(k_act, n_actor)
+            k_ss = jax.vmap(lambda k: jax.random.fold_in(k, ax))(keys)
+            if cfg.algo.prefetch_batches:
+                xs = jax.vmap(
+                    lambda ks: replay_sample(
+                        replay, ks, self.batch_local, fields=("obs",),
+                        sample_slots=cfg.algo.sample_slots,
+                    )
+                )(k_ss)
+            else:
+                xs = k_ss
             (actor_params, actor_opt), a_losses = jax.lax.scan(
-                actor_update, (state.actor_params, state.actor_opt), keys,
+                actor_update, (state.actor_params, state.actor_opt), xs,
                 unroll=True,
             )
             actor_loss = jnp.mean(a_losses)

@@ -162,6 +162,12 @@ class AlgoConfig:
     # n slots (same uniform marginals; see replay_sample — can trigger
     # pathological XLA buffer-splitting in fused loops, keep 0).
     sample_slots: int = 0
+    # PQL: gather ALL critic/actor-phase batches in one batched row-gather
+    # before the update scan instead of one gather per update. Bitwise-
+    # identical math (the replay ring is static during the learner phases
+    # and the per-update key derivation is unchanged — tested); trades
+    # n small gathers for one wide one, which XLA can overlap better.
+    prefetch_batches: bool = False
 
 
 def _algo_presets() -> dict[str, dict[str, Any]]:

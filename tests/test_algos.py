@@ -369,3 +369,27 @@ class TestEvaluator:
         metrics = ev.eval_policy(state.actor_params, state.obs_rms, jax.random.PRNGKey(1))
         assert "eval/return" in metrics and np.isfinite(metrics["eval/return"])
         assert metrics["eval/episode_length"] > 0
+
+
+class TestPrefetchBatches:
+    def test_bitwise_identical_to_per_update_gathers(self):
+        """algo.prefetch_batches hoists the learner-phase replay gathers in
+        front of the update scans; the ring is static through those phases
+        and the key derivation is unchanged, so training must be BITWISE
+        identical with the flag on or off."""
+        from pql_tpu.algos.pql import PQL
+        from pql_tpu.parallel import make_mesh
+
+        def run(prefetch):
+            cfg = tiny_cfg("pql", algo__prefetch_batches=prefetch)
+            agent = PQL(cfg, mesh=make_mesh(2))
+            s = agent.init(jax.random.PRNGKey(7))
+            s, _ = agent.warmup(s)
+            for _ in range(3):
+                s, _ = agent.train_iter(s)
+            return np.asarray(s.critic_params), np.asarray(s.actor_params)
+
+        c0, a0 = run(False)
+        c1, a1 = run(True)
+        np.testing.assert_array_equal(c0, c1)
+        np.testing.assert_array_equal(a0, a1)
