@@ -88,7 +88,7 @@ def run_point(cfg, critic_sample_ratio: int, critic_actor_ratio: int, seconds: f
         "actor_updates_per_s": round(int(state.actor_update_count) / dt, 1),
         "train_return_final": returns[-1][1] if returns else None,
         "train_return_slope_per_s": round(slope, 4),
-        "eval_return": eval_metrics["eval/return"],
+        "eval_return": float(eval_metrics["eval/return"]),
     }
 
 
