@@ -26,8 +26,11 @@ from pql_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
-def build(task, num_envs, ipc, n_critic=None, n_actor=None, sample_slots=None):
+def build(task, num_envs, ipc, n_critic=None, n_actor=None, sample_slots=None,
+          prefetch=False):
     over = {} if sample_slots is None else {"algo__sample_slots": sample_slots}
+    if prefetch:
+        over["algo__prefetch_batches"] = True
     cfg = make_config(
         "pql",
         task=task,
@@ -68,15 +71,21 @@ def main():
     num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     ipc = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     sample_slots = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    # optional 5th arg: 1 = also time algo.prefetch_batches variants
+    probe_prefetch = len(sys.argv) > 5 and sys.argv[5] == "1"
 
     rows = {}
-    for name, nc, na in [
-        ("full", None, None),
-        ("sim_only", 0, 0),
-        ("sim+critic", None, 0),
-    ]:
+    variants = [
+        ("full", None, None, False),
+        ("sim_only", 0, 0, False),
+        ("sim+critic", None, 0, False),
+    ]
+    if probe_prefetch:
+        variants += [("full+prefetch", None, None, True)]
+    for name, nc, na, pf in variants:
         t0 = time.perf_counter()
-        agent = build(task, num_envs, ipc, n_critic=nc, n_actor=na, sample_slots=sample_slots)
+        agent = build(task, num_envs, ipc, n_critic=nc, n_actor=na,
+                      sample_slots=sample_slots, prefetch=pf)
         ms = time_agent(agent)
         rows[name] = ms
         print(

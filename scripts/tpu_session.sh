@@ -52,6 +52,10 @@ run perf_trace python -u scripts/train.py algo=pql task=Ant num_envs=4096 \
 
 run trace_summary python scripts/trace_summary.py "$RUNS/ant_prof" --iters 40 --top 40
 
+# phase attribution + prefetch_batches A/B at the current perf point
+run perf_probe_ant python -u scripts/perf_probe.py Ant 4096 8 0 1
+run perf_probe_cartpole python -u scripts/perf_probe.py Cartpole 4096 16 0 1
+
 run bench env PQL_BENCH_BUDGET_S=2400 python -u bench.py
 
 echo "=== tpu_session done $(date -u +%H:%M:%S) ===" | tee -a "$LOG"
