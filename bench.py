@@ -5,47 +5,81 @@ Covers every BASELINE.json config that fits one chip (the driver runs
 this single-chip; multi-host variants of configs 4-5 are exercised by
 tests/test_multihost.py and __graft_entry__.dryrun_multichip):
 
-1. Cartpole DDPG,  16 envs   (reference train_baselines.py path)
-2. Cartpole PQL,   1024 envs
-3. Cartpole PQL,   4096 envs (headline — round-over-round continuity)
-4. Ant PQL,        4096 envs
-5. AllegroHand PQL, 8192 envs
+1. Cartpole PQL,   4096 envs (headline — round-over-round continuity)
+2. Ant PQL,        4096 envs
+3. AllegroHand PQL, 8192 envs
+4. Cartpole DDPG,  16 envs   (reference train_baselines.py path)
+5. Cartpole PQL,   1024 envs
 6. AllegroHand PQL-D, 16384 envs (distributional critic)
 
-Prints ONE JSON line: the headline metric (flagship fused PQL step at
-4096 envs: sim + 8 critic + 4 actor updates per env-step, batch 8192 —
-reference pql_algo.yaml) plus an ``extra`` dict with every other config's
-env-steps/s. vs_baseline is against the driver north-star of 5M aggregate
-env-steps/s (BASELINE.json); the reference repo publishes no throughput
-numbers (BASELINE.md).
+The headline metric is the flagship fused PQL step at 4096 envs (sim +
+8 critic + 4 actor updates per env-step, batch 8192 — reference
+pql_algo.yaml); every other config lands in ``extra``. vs_baseline is
+against the driver north-star of 5M aggregate env-steps/s
+(BASELINE.json); the reference repo publishes no throughput numbers
+(BASELINE.md).
 
-Budget: stops starting new configs once PQL_BENCH_BUDGET_S (default 2400)
-elapses — compile time on a cold cache dominates, and a partial report
-beats a timeout kill. Skipped configs are reported as such, never
-silently dropped.
+Robustness (round-2 post-mortem — BENCH_r02 was rc=124 with ZERO output
+because one wedged backend init hung the whole all-or-nothing process):
+
+- the orchestrator imports NO jax; every measurement runs in a
+  subprocess so a hang is killable without losing earlier results;
+- a backend health probe (init + one matmul) runs first under a hard
+  deadline — a wedged axon tunnel yields an error JSON line within
+  ~2 minutes instead of a silent timeout kill;
+- the headline JSON line is printed (and flushed) the moment the
+  headline config finishes; the full line with ``extra`` is re-emitted
+  at the end, so a later hang can never erase the number (last valid
+  JSON line wins either way);
+- every config has its own hard deadline, and the total budget
+  (PQL_BENCH_BUDGET_S, default 780 s) is checked before each start.
+
+Failed configs are reported as error strings, never silently dropped;
+a failed headline keeps its diagnostic in ``headline_error``.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
-import traceback
-
-import jax
-
-from pql_tpu.cfg import make_config
-from pql_tpu.utils import enable_compilation_cache
-
-enable_compilation_cache()
 
 NORTH_STAR_STEPS_PER_S = 5_000_000.0
-BUDGET_S = float(os.environ.get("PQL_BENCH_BUDGET_S", 2400))
-T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("PQL_BENCH_BUDGET_S", 660))
+CONFIG_TIMEOUT_S = float(os.environ.get("PQL_BENCH_CONFIG_TIMEOUT_S", 360))
+PROBE_TIMEOUT_S = float(os.environ.get("PQL_BENCH_PROBE_TIMEOUT_S", 120))
+HEADLINE = "cartpole_pql_4096"
+# headline first (banked early), perf-critical Ant/Allegro next, the
+# never-yet-run PQL-D@16384 last so its compile/OOM risk can't shadow
+# anything else. AllegroHand's scalar-unrolled physics traces for
+# ~4.5 min even with a warm persistent compile cache, so the two
+# Allegro configs get a longer leash; worst case stays inside the
+# driver window (probe 120 + budget 660 + one 600 s config ≈ 23 min).
+CONFIG_KEYS = [
+    "cartpole_pql_4096",
+    "ant_pql_4096",
+    "allegro_pql_8192",
+    "cartpole_ddpg_16",
+    "cartpole_pql_1024",
+    "allegro_pqld_16384",
+]
+CONFIG_TIMEOUTS = {
+    "allegro_pql_8192": max(CONFIG_TIMEOUT_S, 600.0),
+    "allegro_pqld_16384": max(CONFIG_TIMEOUT_S, 600.0),
+}
+
+
+# --------------------------------------------------------------------------
+# worker side (runs in a subprocess; the only code here that imports jax)
+# --------------------------------------------------------------------------
 
 
 def _measure(agent, calls: int) -> float:
     """env-steps/s of agent.train_block (or train_iter) after burn-in."""
+    import jax
+
     state = agent.init(jax.random.PRNGKey(agent.cfg.seed))
     state, _ = agent.warmup(state)
     step_fn = getattr(agent, "train_block", agent.train_iter)
@@ -64,6 +98,7 @@ def _measure(agent, calls: int) -> float:
 
 def _pql(task: str, num_envs: int, calls: int, **algo_kw) -> float:
     from pql_tpu.algos.pql import PQL
+    from pql_tpu.cfg import make_config
 
     cfg = make_config(
         "pql",
@@ -81,6 +116,7 @@ def _pql(task: str, num_envs: int, calls: int, **algo_kw) -> float:
 
 def _ddpg(task: str, num_envs: int, calls: int) -> float:
     from pql_tpu.algos import get_algo
+    from pql_tpu.cfg import make_config
     from pql_tpu.envs import make_env
 
     cfg = make_config(
@@ -94,37 +130,97 @@ def _ddpg(task: str, num_envs: int, calls: int) -> float:
     return _measure(get_algo("DDPG")(cfg, make_env(cfg)), calls)
 
 
-CONFIGS = [
-    # (key, thunk) — headline first so it always lands within budget
-    ("cartpole_pql_4096", lambda: _pql("Cartpole", 4096, calls=50)),
-    ("cartpole_ddpg_16", lambda: _ddpg("Cartpole", 16, calls=200)),
-    ("cartpole_pql_1024", lambda: _pql("Cartpole", 1024, calls=50)),
-    ("ant_pql_4096", lambda: _pql("Ant", 4096, calls=40)),
-    ("allegro_pql_8192", lambda: _pql("AllegroHand", 8192, calls=20)),
-    (
-        "allegro_pqld_16384",
-        lambda: _pql(
+def _run_config(key: str) -> float:
+    thunks = {
+        "cartpole_pql_4096": lambda: _pql("Cartpole", 4096, calls=50),
+        "cartpole_ddpg_16": lambda: _ddpg("Cartpole", 16, calls=200),
+        "cartpole_pql_1024": lambda: _pql("Cartpole", 1024, calls=50),
+        "ant_pql_4096": lambda: _pql("Ant", 4096, calls=40),
+        "allegro_pql_8192": lambda: _pql("AllegroHand", 8192, calls=20),
+        "allegro_pqld_16384": lambda: _pql(
             "AllegroHand", 16384, calls=10,
             algo__distl=True, algo__cri_class="DoubleQ",
             algo__memory_size=2_000_000,
         ),
-    ),
-]
+    }
+    return thunks[key]()
 
 
-def main() -> None:
-    extra: dict[str, object] = {}
-    for key, thunk in CONFIGS:
-        if key != "cartpole_pql_4096" and time.perf_counter() - T_START > BUDGET_S:
-            extra[key] = "skipped_budget"
-            continue
-        try:
-            extra[key] = round(thunk(), 1)
-        except Exception:  # noqa: BLE001 — a failing config must not hide the rest
-            extra[key] = "error: " + traceback.format_exc(limit=1).splitlines()[-1][:200]
+def _maybe_force_platform() -> None:
+    """PQL_BENCH_PLATFORM=cpu forces the backend in-process (this image's
+    site hook pre-imports jax, so JAX_PLATFORMS from the shell is too
+    late) — used to exercise the bench off-chip."""
+    plat = os.environ.get("PQL_BENCH_PLATFORM")
+    if plat:
+        import jax
 
-    headline = extra.pop("cartpole_pql_4096")
-    value = headline if isinstance(headline, float) else -1.0
+        jax.config.update("jax_platforms", plat)
+
+
+def worker_main(key: str) -> None:
+    _maybe_force_platform()
+    from pql_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    value = _run_config(key)
+    # last line of worker stdout is the result contract
+    print(json.dumps({"key": key, "steps_per_s": round(value, 1)}), flush=True)
+
+
+def probe_main() -> None:
+    """Backend health check: init + one matmul, report the platform."""
+    _maybe_force_platform()
+    import jax
+    import jax.numpy as jnp
+
+    d = jax.devices()
+    x = jnp.ones((256, 256))
+    jax.block_until_ready(x @ x)
+    print(json.dumps({"ok": True, "platform": d[0].platform, "n": len(d)}), flush=True)
+
+
+# --------------------------------------------------------------------------
+# orchestrator side (stdlib only — must survive a wedged backend)
+# --------------------------------------------------------------------------
+
+
+def _last_json_line(text: str) -> dict | None:
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def _run_subprocess(args: list[str], timeout: float) -> tuple[dict | None, str]:
+    """Run ``python bench.py <args>`` in its own process group with a hard
+    deadline; returns (parsed last JSON line, diagnostic string)."""
+    cmd = [sys.executable, "-u", os.path.abspath(__file__), *args]
+    try:
+        proc = subprocess.run(
+            cmd,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            timeout=timeout,
+            text=True,
+            start_new_session=True,  # killable as a group on timeout
+        )
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        return None, f"timeout after {timeout:.0f}s; tail: " + out[-200:].replace("\n", " | ")
+    out = proc.stdout or ""
+    parsed = _last_json_line(out)
+    if proc.returncode != 0:
+        return None, f"rc={proc.returncode}; tail: " + out[-300:].replace("\n", " | ")
+    return parsed, out[-300:]
+
+
+def _emit(value: float, extra: dict) -> None:
     print(
         json.dumps(
             {
@@ -134,9 +230,58 @@ def main() -> None:
                 "vs_baseline": round(value / NORTH_STAR_STEPS_PER_S, 4),
                 "extra": extra,
             }
-        )
+        ),
+        flush=True,
     )
 
 
+def main() -> None:
+    t_start = time.perf_counter()
+    extra: dict[str, object] = {}
+
+    probe, diag = _run_subprocess(["--probe"], PROBE_TIMEOUT_S)
+    if not (probe and probe.get("ok")):
+        extra["error"] = (
+            f"backend health probe failed within {PROBE_TIMEOUT_S:.0f}s "
+            f"(wedged axon tunnel?): {diag}"
+        )
+        for key in CONFIG_KEYS:
+            extra[key] = "skipped_backend_down"
+        _emit(-1.0, extra)
+        return
+    extra["platform"] = probe.get("platform")
+
+    headline_value = -1.0
+    for key in CONFIG_KEYS:
+        elapsed = time.perf_counter() - t_start
+        if key != HEADLINE and elapsed > BUDGET_S:
+            extra[key] = "skipped_budget"
+            continue
+        result, diag = _run_subprocess(
+            ["--worker", key], CONFIG_TIMEOUTS.get(key, CONFIG_TIMEOUT_S)
+        )
+        if result and "steps_per_s" in result:
+            value = float(result["steps_per_s"])
+            if key == HEADLINE:
+                headline_value = value
+                # bank the headline immediately — a later hang/kill can
+                # no longer erase the round's number
+                _emit(headline_value, dict(extra, partial=True))
+            else:
+                extra[key] = value
+        else:
+            if key == HEADLINE:
+                extra["headline_error"] = diag
+            else:
+                extra[key] = "error: " + diag
+
+    _emit(headline_value, extra)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        probe_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker_main(sys.argv[2])
+    else:
+        main()

@@ -36,6 +36,21 @@ _ENV_COORD = "PQL_COORDINATOR"
 _ENV_NPROC = "PQL_NUM_PROCESSES"
 _ENV_PID = "PQL_PROCESS_ID"
 
+# module-level record of a successful initialize() — paired with the
+# public is_initialized() probe below so we never touch jax._src internals
+_initialized_here = False
+
+
+def _already_initialized() -> bool:
+    """Detect a prior jax.distributed.initialize without private APIs."""
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:  # public probe (jax >= 0.4.34)
+        try:
+            return bool(is_init())
+        except Exception:
+            pass
+    return _initialized_here  # fallback for jax versions without the probe
+
 
 def initialize(cfg=None) -> bool:
     """Join this process into the jax.distributed job if configured.
@@ -50,13 +65,13 @@ def initialize(cfg=None) -> bool:
     3. cfg.dist.auto_tpu_pod: bare ``jax.distributed.initialize()`` for
        TPU-pod metadata discovery.
     """
+    global _initialized_here
     d = getattr(cfg, "dist", None) if cfg is not None else None
     coord = (d and d.coordinator_address) or os.environ.get(_ENV_COORD)
     nproc = (d and d.num_processes) or os.environ.get(_ENV_NPROC)
     pid = os.environ.get(_ENV_PID) if (d is None or d.process_id is None) else d.process_id
 
-    state = jax._src.distributed.global_state
-    if state.client is not None:  # already initialized
+    if _already_initialized():
         return jax.process_count() > 1
 
     if coord and nproc is not None:
@@ -71,9 +86,11 @@ def initialize(cfg=None) -> bool:
             num_processes=int(nproc),
             process_id=int(pid) if pid is not None else None,
         )
+        _initialized_here = True
         return jax.process_count() > 1
     if d is not None and getattr(d, "auto_tpu_pod", False):
         jax.distributed.initialize()  # TPU metadata discovery
+        _initialized_here = True
         return jax.process_count() > 1
     return False
 

@@ -15,13 +15,13 @@ python -u scripts/train.py algo=pql task=Ant num_envs=4096 \
     algo.compute_dtype=bfloat16 algo.iters_per_call=4 \
     max_time=3600 algo.eval_freq=100 algo.log_freq=50 \
     logging.out_dir="$RUNS" logging.run_name=ant_pql \
-    checkpoint_dir="$RUNS/ant_pql_ckpt"
+    checkpoint_dir="$RUNS/ant_pql_ckpt" checkpoint_freq=500
 
 python -u scripts/train.py algo=pql task=AllegroHand num_envs=8192 \
     algo.compute_dtype=bfloat16 algo.iters_per_call=4 \
     max_time=4800 algo.eval_freq=100 algo.log_freq=50 \
     logging.out_dir="$RUNS" logging.run_name=allegro_pql \
-    checkpoint_dir="$RUNS/allegro_pql_ckpt"
+    checkpoint_dir="$RUNS/allegro_pql_ckpt" checkpoint_freq=500
 
 python scripts/learning_report.py "$RUNS/ant_pql" "$RUNS/allegro_pql" \
     thresholds=Ant:5000,AllegroHand:3000 out=LEARNING.md

@@ -59,6 +59,9 @@ def run_point(cfg, critic_sample_ratio: int, critic_actor_ratio: int, seconds: f
     returns: list[tuple[float, float]] = []  # (t, train_return)
     t0 = time.perf_counter()
     steps0 = int(state.env_steps)
+    # snapshot update counters alongside steps0 so all three rates are
+    # deltas over the same timed window (warm-up/settle excluded)
+    cri0, act0 = int(state.critic_update_count), int(state.actor_update_count)
     while time.perf_counter() - t0 < seconds:
         state, metrics = agent.train_block(state)
         returns.append((time.perf_counter() - t0, float(metrics["train/return"])))
@@ -84,8 +87,8 @@ def run_point(cfg, critic_sample_ratio: int, critic_actor_ratio: int, seconds: f
         "critic_actor_ratio": critic_actor_ratio,
         "seconds": round(dt, 1),
         "env_steps_per_s": round(steps / dt, 1),
-        "critic_updates_per_s": round(int(state.critic_update_count) / dt, 1),
-        "actor_updates_per_s": round(int(state.actor_update_count) / dt, 1),
+        "critic_updates_per_s": round((int(state.critic_update_count) - cri0) / dt, 1),
+        "actor_updates_per_s": round((int(state.actor_update_count) - act0) / dt, 1),
         "train_return_final": returns[-1][1] if returns else None,
         "train_return_slope_per_s": round(slope, 4),
         "eval_return": float(eval_metrics["eval/return"]),

@@ -28,13 +28,13 @@ run flagship_ant python -u scripts/train.py algo=pql task=Ant num_envs=4096 \
     algo.compute_dtype=bfloat16 algo.iters_per_call=4 \
     max_time=3600 algo.eval_freq=100 algo.log_freq=50 \
     logging.out_dir="$RUNS" logging.run_name=ant_pql_tpu \
-    checkpoint_dir="$RUNS/ant_pql_tpu_ckpt"
+    checkpoint_dir="$RUNS/ant_pql_tpu_ckpt" checkpoint_freq=500
 
 run flagship_allegro python -u scripts/train.py algo=pql task=AllegroHand num_envs=8192 \
     algo.compute_dtype=bfloat16 algo.iters_per_call=4 \
     max_time=4800 algo.eval_freq=100 algo.log_freq=50 \
     logging.out_dir="$RUNS" logging.run_name=allegro_pql_tpu \
-    checkpoint_dir="$RUNS/allegro_pql_tpu_ckpt"
+    checkpoint_dir="$RUNS/allegro_pql_tpu_ckpt" checkpoint_freq=500
 
 run learning_report python scripts/learning_report.py \
     "$RUNS/ant_pql_tpu" "$RUNS/allegro_pql_tpu" "$RUNS/ant_pql_cpu" \

@@ -59,9 +59,8 @@ class TestInitializeSources:
         init.assert_called_once_with()
 
     def test_already_initialized_short_circuits(self):
-        fake_state = SimpleNamespace(client=object())
         with mock.patch.object(
-            dist.jax._src.distributed, "global_state", fake_state
+            dist.jax.distributed, "is_initialized", return_value=True
         ), mock.patch.object(dist.jax.distributed, "initialize") as init, mock.patch.object(
             dist.jax, "process_count", return_value=2
         ):
