@@ -153,6 +153,13 @@ def main(argv: list[str]) -> None:
                 lines.append(f"| {r['time']:.0f} s | {int(r['step']):,} | {r['eval/return']:.2f} |")
         lines.append("")
 
+    # freeform status/provenance notes survive regeneration: kept in a
+    # sibling NOTES file and appended verbatim
+    notes = os.path.join(os.path.dirname(os.path.abspath(out)), "LEARNING_NOTES.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            lines += [f.read().rstrip(), ""]
+
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out} ({len(runs)} runs)")
