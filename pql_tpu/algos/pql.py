@@ -266,7 +266,9 @@ class PQL:
         The TPU analog of the reference's runtime rate controller
         (train_pql.py:127-158): ratios are exact static integers compiled
         into the step, so adapting them means rebuilding the jitted
-        programs (cheap under the persistent compilation cache). The train
+        programs (cheap under the persistent compilation cache — but
+        tracing a scalar-physics task still costs minutes; see
+        ``precompile_ratio_ladder`` for the stall-free path). The train
         state is a jit INPUT — params, optimizer, replay, rng and counters
         carry over untouched, so training continues seamlessly at the new
         ratios (tested: tests/test_algos.py ratio-switch counter test).
@@ -276,6 +278,39 @@ class PQL:
         self.n_critic = int(critic_sample_ratio)
         self.n_actor = max(self.n_critic // int(critic_actor_ratio), 1)
         self._build_jitted()
+        ladder = getattr(self, "_ladder", None)
+        if ladder:
+            compiled = ladder.get((self.n_critic, self.n_actor))
+            if compiled is not None:  # pre-traced + pre-compiled executable
+                self.train_block = compiled
+
+    def precompile_ratio_ladder(self, state, factor: int = 2, max_ratio: int = 32):
+        """AOT-compile the adaptive controller's escalation rungs up front.
+
+        A mid-flagship-run escalation (``RatioController`` →
+        ``set_ratios``) otherwise pays a full trace + compile at the new
+        ratios — tens of minutes cold on a remote TPU for scalar-physics
+        tasks, enough to look like a wedged run. Here each rung
+        (critic_sample_ratio × factor^k ≤ max_ratio, same
+        critic_actor_ratio) is lowered and compiled against the live
+        state's shapes BEFORE training starts, and the compiled
+        executables are kept; a later ``set_ratios`` to a prepared rung
+        swaps in the executable with zero retrace/recompile. Returns the
+        list of prepared rungs.
+        """
+        orig = (self.cfg.algo.critic_sample_ratio, self.cfg.algo.critic_actor_ratio)
+        self._ladder = {}
+        rungs = []
+        rung = orig[0] * factor
+        while rung <= max_ratio:
+            self.set_ratios(rung, orig[1])
+            self._ladder[(self.n_critic, self.n_actor)] = self.train_block.lower(
+                state
+            ).compile()
+            rungs.append(rung)
+            rung *= factor
+        self.set_ratios(*orig)
+        return rungs
 
     # ---------------------------------------------------------------- init
 

@@ -116,6 +116,11 @@ class AlgoConfig:
     adapt_window: int = 6
     adapt_factor: int = 2
     adapt_max_ratio: int = 32
+    # AOT-compile every escalation rung before training starts so a
+    # mid-run escalation swaps executables instead of re-tracing (a cold
+    # re-jit of a scalar-physics task on a remote TPU costs minutes —
+    # PQL.precompile_ratio_ladder)
+    adapt_precompile: bool = True
     # --- PQL-D distributional (pql_algo.yaml:36-39) ---
     distl: bool = False
     v_min: float = -10.0

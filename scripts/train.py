@@ -155,6 +155,11 @@ def train_pql(cfg, logger: RunLogger) -> None:
             factor=cfg.algo.adapt_factor,
             max_ratio=cfg.algo.adapt_max_ratio,
         )
+        if cfg.algo.adapt_precompile:
+            rungs = agent.precompile_ratio_ladder(
+                state, factor=cfg.algo.adapt_factor, max_ratio=cfg.algo.adapt_max_ratio
+            )
+            logger.log({"adapt/precompiled_rungs": float(len(rungs))}, step=0)
 
     best_ret = float("-inf")
     it = _resumed_iter(cfg, state, resumed)

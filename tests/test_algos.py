@@ -85,6 +85,31 @@ class TestPQLFused:
         for v in metrics.values():
             assert bool(jnp.isfinite(v))
 
+    def test_precompiled_ratio_ladder_swaps_without_rejit(self):
+        """precompile_ratio_ladder AOT-compiles the escalation rungs; a
+        later set_ratios to a prepared rung swaps in the compiled
+        executable (no retrace — the mid-flagship-run stall fix) and
+        training continues with exact counters."""
+        from pql_tpu.algos.pql import PQL
+
+        agent = PQL(
+            tiny_cfg("pql", algo__critic_sample_ratio=2, algo__iters_per_call=1)
+        )
+        state = agent.init(jax.random.PRNGKey(0))
+        state, _ = agent.warmup(state)
+        rungs = agent.precompile_ratio_ladder(state, factor=2, max_ratio=8)
+        assert rungs == [4, 8]
+        # original ratios restored after precompilation
+        assert agent.n_critic == 2
+        state, _ = agent.train_iter(state)
+        agent.set_ratios(4, agent.cfg.algo.critic_actor_ratio)
+        # the prepared executable is in place (an AOT Compiled, not a jit)
+        assert agent.train_block is agent._ladder[(agent.n_critic, agent.n_actor)]
+        state, metrics = agent.train_block(state)
+        assert int(state.critic_update_count) == 2 + 4
+        for v in metrics.values():
+            assert bool(jnp.isfinite(v))
+
     def test_deterministic_given_seed(self, agent_state):
         agent, _ = agent_state
 
