@@ -87,12 +87,59 @@ def initialize(cfg=None) -> bool:
             process_id=int(pid) if pid is not None else None,
         )
         _initialized_here = True
-        return jax.process_count() > 1
+        return _post_init()
     if d is not None and getattr(d, "auto_tpu_pod", False):
         jax.distributed.initialize()  # TPU metadata discovery
         _initialized_here = True
-        return jax.process_count() > 1
+        return _post_init()
     return False
+
+
+def _post_init() -> bool:
+    """Smoke-check cross-process collectives while processes are in
+    lock-step (right after the jax.distributed handshake, where skew is
+    milliseconds). NOTE this does NOT immunize later programs: XLA:CPU's
+    gloo backend creates a FRESH communicator per executable, each with a
+    hard ~30 s key-value-exchange deadline at its first dispatch — see
+    :func:`host_barrier` for how heavyweight programs must handle it.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("pql_collective_context_warmup")
+        return True
+    return False
+
+
+def host_barrier(name: str, timeout_s: float = 3600.0) -> None:
+    """Coordination-service (host-side) barrier across processes.
+
+    Why it exists: gloo (XLA:CPU's cross-process collective backend)
+    builds a NEW communicator per compiled executable, and that build has
+    a hard ~30 s key-value deadline at the executable's first dispatch
+    (``make_gloo_tcp_collectives`` exposes no timeout knob). Trace+compile
+    of a scalar-physics fused step takes minutes with per-process variance
+    well over 30 s, so the faster process's communicator times out waiting
+    for the slower one (observed: 2-process Ant on a 1-core box). The
+    cure is to AOT-compile (``jitted.lower(args).compile()``) everything,
+    host_barrier(), and only then dispatch — this barrier rides the
+    coordination service (minutes-scale deadline, no device collective),
+    so it tolerates arbitrary compile skew. TPU pods don't need this:
+    their collectives are mesh-wired, not KV-negotiated.
+
+    Uses the distributed client's ``wait_at_barrier`` (no public
+    equivalent exists); degrades to a no-op if the private handle is
+    unavailable.
+    """
+    if jax.process_count() <= 1:
+        return
+    client = getattr(
+        getattr(getattr(jax, "_src", None), "distributed", None), "global_state", None
+    )
+    client = getattr(client, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
 
 
 def is_primary() -> bool:

@@ -6,7 +6,11 @@ on a TPU pod (SURVEY §2.8 DP row). It then runs the SAME fused PQL
 program as single-process training, over the global 8-device mesh, and
 prints digest values of the resulting (replicated) parameters.
 
-Run: python tests/mp_pql_worker.py <coordinator> <num_processes> <process_id>
+Run: python tests/mp_pql_worker.py <coordinator> <num_processes> <process_id> [task]
+
+``task`` defaults to PointMass; passing Ant exercises a full rigid-body
+state pytree (joint-space carries, contact buffers) across the process
+boundary at toy shapes.
 """
 
 import hashlib
@@ -33,11 +37,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     coordinator, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    task = sys.argv[4] if len(sys.argv) > 4 else "PointMass"
     os.environ["PQL_COORDINATOR"] = coordinator
     os.environ["PQL_NUM_PROCESSES"] = str(nproc)
     os.environ["PQL_PROCESS_ID"] = str(pid)
 
-    from pql_tpu.parallel import initialize, replicate
+    from pql_tpu.parallel import host_barrier, initialize, replicate
 
     assert initialize(None), "expected a multi-process job"
     assert jax.process_count() == nproc
@@ -50,7 +55,7 @@ def main() -> None:
 
     cfg = make_config(
         "pql",
-        task="PointMass",
+        task=task,
         num_envs=16,
         algo__batch_size=64,
         algo__memory_size=4096,
@@ -60,10 +65,20 @@ def main() -> None:
     )
     agent = PQL(cfg)  # default mesh: all 8 global devices
     key = replicate(jax.random.PRNGKey(3), agent.mesh)
-    state = agent.init(key)
-    state, _ = agent.warmup(state)
+    # AOT-compile every program, THEN barrier, THEN dispatch: gloo builds a
+    # fresh communicator per executable with a ~30 s deadline at first
+    # dispatch, so per-process compile skew (minutes for scalar-physics
+    # tasks) must be absorbed by a host-side barrier, not the collective
+    # itself — see pql_tpu/parallel/distributed.py host_barrier.
+    init_c = agent.init.lower(key).compile()
+    state_shape = jax.eval_shape(agent.init, key)
+    warm_c = agent.warmup.lower(state_shape).compile()
+    train_c = agent.train_iter.lower(state_shape).compile()
+    host_barrier("mp_worker_compiled")
+    state = init_c(key)
+    state, _ = warm_c(state)
     for _ in range(2):
-        state, _ = agent.train_iter(state)
+        state, _ = train_c(state)
 
     actor = np.asarray(state.actor_params)  # replicated flat param vector
     out = {
