@@ -31,7 +31,7 @@ class TestInitializeSources:
         cfg = _cfg(coordinator_address="cfg:2", num_processes=2, process_id=1)
         with mock.patch.object(dist.jax.distributed, "initialize") as init, mock.patch.object(
             dist.jax, "process_count", return_value=2
-        ):
+        ), mock.patch.object(dist, "_post_init", return_value=True):
             assert dist.initialize(cfg) is True
         init.assert_called_once_with(
             coordinator_address="cfg:2", num_processes=2, process_id=1
@@ -43,7 +43,7 @@ class TestInitializeSources:
         monkeypatch.setenv("PQL_PROCESS_ID", "1")
         with mock.patch.object(dist.jax.distributed, "initialize") as init, mock.patch.object(
             dist.jax, "process_count", return_value=2
-        ):
+        ), mock.patch.object(dist, "_post_init", return_value=True):
             assert dist.initialize(None) is True
         init.assert_called_once_with(
             coordinator_address="host9:77", num_processes=2, process_id=1
@@ -54,7 +54,7 @@ class TestInitializeSources:
             monkeypatch.delenv(var, raising=False)
         with mock.patch.object(dist.jax.distributed, "initialize") as init, mock.patch.object(
             dist.jax, "process_count", return_value=4
-        ):
+        ), mock.patch.object(dist, "_post_init", return_value=True):
             assert dist.initialize(_cfg(auto_tpu_pod=True)) is True
         init.assert_called_once_with()
 
