@@ -167,22 +167,31 @@ def train_pql(cfg, logger: RunLogger) -> None:
     eval_gate = _Every(cfg.algo.eval_freq, it)
     ckpt_gate = _checkpoint_gate(cfg, it)
     last_log, last_steps = time.time(), int(state.env_steps)
+    # host-side step counter: each train_block advances env_steps by a
+    # deterministic ipc×horizon×num_envs, so the stop/gate checks never
+    # need the device counter — materializing it (int(state.env_steps))
+    # every iteration would force a host↔device sync per dispatch and
+    # stall the async pipeline behind the ~3 ms tunnel latency. Device
+    # counters are read only at log/eval/checkpoint events.
+    steps_host = int(state.env_steps)
+    steps_per_call = agent.iters_per_call * cfg.algo.horizon_len * cfg.num_envs
     profiler = _ProfilerHook(cfg)
     while True:
         state, metrics = agent.train_block(state)
         it += agent.iters_per_call
+        steps_host += steps_per_call
         profiler.tick(it)
         if log_gate(it):
             host = {k: float(v) for k, v in metrics.items()}
-            host["speed/env_steps"] = int(state.env_steps)
+            host["speed/env_steps"] = steps = int(state.env_steps)
             host["speed/critic_updates"] = int(state.critic_update_count)
             host["speed/actor_updates"] = int(state.actor_update_count)
             # measured rate: Δ(device counter)/Δt — never inferred from
             # configured frequencies (round-2 verdict weak #3: 2× error)
-            now, steps = time.time(), int(state.env_steps)
+            now = time.time()
             host["speed/env_steps_per_s"] = (steps - last_steps) / max(now - last_log, 1e-9)
             last_log, last_steps = now, steps
-            logger.log(host, step=int(state.env_steps))
+            logger.log(host, step=steps)
         if eval_gate(it):
             k_eval, k = jax.random.split(k_eval)
             eval_metrics = evaluator.eval_policy(state.actor_params, state.obs_rms, k)
@@ -191,7 +200,7 @@ def train_pql(cfg, logger: RunLogger) -> None:
                 if new_ratios is not None:
                     agent.set_ratios(*new_ratios)
                     eval_metrics["train/critic_sample_ratio"] = new_ratios[0]
-            logger.log(eval_metrics, step=int(state.env_steps))
+            logger.log(eval_metrics, step=steps_host)
             if eval_metrics["eval/return"] > best_ret and logger.run_dir:
                 best_ret = eval_metrics["eval/return"]
                 save_model_snapshot(
@@ -201,7 +210,7 @@ def train_pql(cfg, logger: RunLogger) -> None:
                     state.obs_rms,
                 )
         _maybe_full_checkpoint(cfg, ckpt_gate, it, state)
-        if evaluator.check_if_should_stop(int(state.env_steps)):
+        if evaluator.check_if_should_stop(steps_host):
             break
     profiler.close()
 
@@ -242,21 +251,25 @@ def train_baseline(cfg, logger: RunLogger) -> None:
     eval_gate = _Every(cfg.algo.eval_freq, it)
     ckpt_gate = _checkpoint_gate(cfg, it)
     last_log, last_steps = time.time(), int(state.env_steps)
+    # host-side step counter — same sync-avoidance as train_pql above
+    steps_host = int(state.env_steps)
+    steps_per_iter = cfg.algo.horizon_len * cfg.num_envs
     profiler = _ProfilerHook(cfg)
     while True:
         state, metrics = agent.train_iter(state)
         it += 1
+        steps_host += steps_per_iter
         profiler.tick(it)
         if log_gate(it):
             host = {k: float(v) for k, v in metrics.items()}
             now, steps = time.time(), int(state.env_steps)
             host["speed/env_steps_per_s"] = (steps - last_steps) / max(now - last_log, 1e-9)
             last_log, last_steps = now, steps
-            logger.log(host, step=int(state.env_steps))
+            logger.log(host, step=steps)
         if eval_gate(it):
             k_eval, k = jax.random.split(k_eval)
             eval_metrics = evaluator.eval_policy(_actor_params_of(state), state.obs_rms, k)
-            logger.log(eval_metrics, step=int(state.env_steps))
+            logger.log(eval_metrics, step=steps_host)
             if eval_metrics["eval/return"] > best_ret and logger.run_dir:
                 best_ret = eval_metrics["eval/return"]
                 save_model_snapshot(
@@ -266,7 +279,7 @@ def train_baseline(cfg, logger: RunLogger) -> None:
                     state.obs_rms,
                 )
         _maybe_full_checkpoint(cfg, ckpt_gate, it, state)
-        if evaluator.check_if_should_stop(int(state.env_steps)):
+        if evaluator.check_if_should_stop(steps_host):
             break
     profiler.close()
 
