@@ -53,22 +53,24 @@ import sys
 import time
 
 NORTH_STAR_STEPS_PER_S = 5_000_000.0
-BUDGET_S = float(os.environ.get("PQL_BENCH_BUDGET_S", 660))
+BUDGET_S = float(os.environ.get("PQL_BENCH_BUDGET_S", 900))
 CONFIG_TIMEOUT_S = float(os.environ.get("PQL_BENCH_CONFIG_TIMEOUT_S", 360))
 PROBE_TIMEOUT_S = float(os.environ.get("PQL_BENCH_PROBE_TIMEOUT_S", 120))
 HEADLINE = "cartpole_pql_4096"
-# headline first (banked early), perf-critical Ant/Allegro next, the
-# never-yet-run PQL-D@16384 last so its compile/OOM risk can't shadow
-# anything else. AllegroHand's scalar-unrolled physics traces for
-# ~4.5 min even with a warm persistent compile cache, so the two
-# Allegro configs get a longer leash; worst case stays inside the
-# driver window (probe 120 + budget 660 + one 600 s config ≈ 23 min).
+# headline first (banked early), perf-critical Ant next, then the two
+# CHEAP configs (banked before any Allegro compile risk), and the
+# compile-heavy Allegro pair last — PQL-D@16384 at the very end so its
+# risk can't shadow anything else. AllegroHand's scalar-unrolled
+# physics traces for ~4.5 min even with a warm persistent compile
+# cache, so the two Allegro configs get a longer leash; a progress
+# line is banked after EVERY config, so even a driver kill mid-Allegro
+# (window ≈25 min, BENCH_r02 post-mortem) keeps everything measured.
 CONFIG_KEYS = [
     "cartpole_pql_4096",
     "ant_pql_4096",
-    "allegro_pql_8192",
     "cartpole_ddpg_16",
     "cartpole_pql_1024",
+    "allegro_pql_8192",
     "allegro_pqld_16384",
 ]
 CONFIG_TIMEOUTS = {
