@@ -24,21 +24,28 @@ run() {  # run <name> <cmd...> — log, never abort the queue on failure
     echo "--- exit=$? @ $(date -u +%H:%M:%S)" | tee -a "$LOG"
 }
 
+# NOTE on frequencies: gates are in outer iterations, and on-chip one
+# iteration is ~6 ms — eval_freq=2000 ≈ one eval every ~12 s, and
+# checkpoint_freq=200000 ≈ one full-state (incl. ~2 GB replay) save
+# every ~20 min. Don't copy the CPU-run frequencies (eval_freq=100)
+# here: at chip speed they fire every fraction of a second.
 run flagship_ant python -u scripts/train.py algo=pql task=Ant num_envs=4096 \
     algo.compute_dtype=bfloat16 algo.iters_per_call=4 \
-    max_time=3600 algo.eval_freq=100 algo.log_freq=50 \
+    max_time=3600 algo.eval_freq=2000 algo.log_freq=500 \
     logging.out_dir="$RUNS" logging.run_name=ant_pql_tpu \
-    checkpoint_dir="$RUNS/ant_pql_tpu_ckpt" checkpoint_freq=500
+    checkpoint_dir="$RUNS/ant_pql_tpu_ckpt" checkpoint_freq=200000
 
 run flagship_allegro python -u scripts/train.py algo=pql task=AllegroHand num_envs=8192 \
     algo.compute_dtype=bfloat16 algo.iters_per_call=4 \
-    max_time=4800 algo.eval_freq=100 algo.log_freq=50 \
+    max_time=4800 algo.eval_freq=2000 algo.log_freq=500 \
     logging.out_dir="$RUNS" logging.run_name=allegro_pql_tpu \
-    checkpoint_dir="$RUNS/allegro_pql_tpu_ckpt" checkpoint_freq=500
+    checkpoint_dir="$RUNS/allegro_pql_tpu_ckpt" checkpoint_freq=200000
 
 run learning_report python scripts/learning_report.py \
-    "$RUNS/ant_pql_tpu" "$RUNS/allegro_pql_tpu" "$RUNS/ant_pql_cpu" \
-    thresholds=Ant:5000,AllegroHand:3000 out=LEARNING.md
+    "$RUNS/cartpole_pql_cpu_smoke" "$RUNS/cartpole_adaptive" \
+    "$RUNS/ant_pql_cpu" "$RUNS/ant_pql_cpu_r3" "$RUNS/allegro_pql_cpu_r3" \
+    "$RUNS/ant_pql_tpu" "$RUNS/allegro_pql_tpu" \
+    thresholds=Ant:5000,AllegroHand:3000,Cartpole:450 out=LEARNING.md
 
 run ratio_sweep python -u scripts/ratio_sweep.py task=AllegroHand num_envs=8192 \
     algo.compute_dtype=bfloat16 sweep=8:2,4:2,16:2,8:4,2:1 \
