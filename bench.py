@@ -316,9 +316,15 @@ def main() -> None:
         if key != HEADLINE and elapsed > BUDGET_S:
             extra[key] = "skipped_budget"
             continue
-        result, diag = _run_subprocess(
-            ["--worker", key], CONFIG_TIMEOUTS.get(key, CONFIG_TIMEOUT_S), worker_env
+        # clamp the per-config leash to the remaining budget (floor 120 s)
+        # so one expensive tail config can't push total runtime far past
+        # BUDGET_S — the driver kills by wall-clock, and a kill mid-config
+        # wastes the leash a cheaper config could have used
+        leash = min(
+            CONFIG_TIMEOUTS.get(key, CONFIG_TIMEOUT_S),
+            max(BUDGET_S - elapsed, 120.0),
         )
+        result, diag = _run_subprocess(["--worker", key], leash, worker_env)
         if result and "steps_per_s" in result:
             value = float(result["steps_per_s"])
             if key == HEADLINE:

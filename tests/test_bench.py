@@ -141,3 +141,30 @@ def test_cpu_fallback_headline_timeout_promotes_small_config():
     # cheap configs ran BEFORE the risky headline (banked first)
     partials = [l for l in lines[:-1] if l["extra"].get("partial")]
     assert isinstance(partials[0]["extra"].get("cartpole_ddpg_16"), float)
+
+
+def test_tail_config_timeout_clamped_to_remaining_budget(monkeypatch):
+    """One expensive tail config must not push total runtime far past
+    BUDGET_S: its subprocess timeout is clamped to the remaining budget
+    (floor 120 s), and a config starting past the budget is skipped."""
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: clock["t"])
+    timeouts = {}
+
+    def fake(args, timeout, env_extra=None):
+        if args[0] == "--probe":
+            clock["t"] += 10.0
+            return {"ok": True, "platform": "axon", "n": 1}, ""
+        timeouts[args[1]] = timeout
+        clock["t"] += 200.0  # each config consumes 200 s of budget
+        return {"key": args[1], "steps_per_s": 1000.0}, ""
+
+    final = _run_main(fake)[-1]
+    # early configs get their full leash (budget not yet binding)
+    assert timeouts[bench.HEADLINE] == bench.CONFIG_TIMEOUT_S
+    # allegro_pql_8192 starts at elapsed=810 of 900: leash 600 -> clamped
+    # to the 120 s floor (remaining budget is only 90)
+    assert timeouts["allegro_pql_8192"] == 120.0
+    # the last config starts past the budget entirely: skipped, not run
+    assert final["extra"]["allegro_pqld_16384"] == "skipped_budget"
+    assert "allegro_pqld_16384" not in timeouts
