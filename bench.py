@@ -319,11 +319,14 @@ def main() -> None:
         # clamp the per-config leash to the remaining budget (floor 120 s)
         # so one expensive tail config can't push total runtime far past
         # BUDGET_S — the driver kills by wall-clock, and a kill mid-config
-        # wastes the leash a cheaper config could have used
-        leash = min(
-            CONFIG_TIMEOUTS.get(key, CONFIG_TIMEOUT_S),
-            max(BUDGET_S - elapsed, 120.0),
-        )
+        # wastes the leash a cheaper config could have used. The HEADLINE
+        # is exempt (like the skipped_budget check above): on the
+        # CPU-fallback path it runs last, and a clamped 120 s leash is
+        # below its off-chip compile time — the headline number matters
+        # more than the total-budget overshoot.
+        leash = CONFIG_TIMEOUTS.get(key, CONFIG_TIMEOUT_S)
+        if key != HEADLINE:
+            leash = min(leash, max(BUDGET_S - elapsed, 120.0))
         result, diag = _run_subprocess(["--worker", key], leash, worker_env)
         if result and "steps_per_s" in result:
             value = float(result["steps_per_s"])

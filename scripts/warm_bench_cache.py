@@ -70,6 +70,15 @@ def warm(key: str) -> None:
 
 
 if __name__ == "__main__":
-    keys = sys.argv[1:] or ["ant_pql_4096", "allegro_pql_8192"]
+    # default: every compile-heavy TPU config bench.py runs, INCLUDING
+    # allegro_pqld_16384 — the heaviest compile (16384 envs + C51 DoubleQ)
+    # and the config most likely to get a clamped leash on a cold cache
+    keys = sys.argv[1:] or [
+        "cartpole_pql_4096",
+        "cartpole_pql_1024",
+        "ant_pql_4096",
+        "allegro_pql_8192",
+        "allegro_pqld_16384",
+    ]
     for k in keys:
         warm(k)

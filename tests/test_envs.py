@@ -3,11 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pql_tpu.envs import VecEnv, handle_timeout, make_task, TASK_REGISTRY
 
 
 class TestVecEnv:
+    @pytest.mark.slow  # compiles EVERY registered task's physics (~10 min);
+    # the quick gate's per-task coverage lives in test_task_suite.py
     def test_all_tasks_step(self, rng):
         for name in TASK_REGISTRY:
             env = VecEnv(make_task(name), num_envs=8)
