@@ -21,10 +21,15 @@ import jax.numpy as jnp
 from pql_tpu.physics import FREE, Geom, HINGE, RigidBodyModel
 from pql_tpu.physics.contact import (
     add_fext_s,
+    box_ground_anchored_s,
     box_ground_contacts,
     box_ground_contacts_s,
+    derive_pair,
+    ground_anchored_s,
     ground_contacts,
     ground_contacts_s,
+    point_eff_mass,
+    sphere_box_anchored_s,
     sphere_box_contacts,
     sphere_box_contacts_s,
 )
@@ -82,7 +87,10 @@ def hand_model(dt: float = 1.0 / 480.0, n_fingers: int = N_FINGERS) -> RigidBody
             i_perp = m_link * LINK_LEN**2 / 3.0
             eye = np.eye(3)
             inertia.append(i_perp * (eye - np.outer(d, d)) + 1e-6 * eye)
-            geoms.append(Geom(body, tuple(-LINK_LEN * d), 0.016))
+            # m_eff: apparent mass of the finger chain at this link's tip
+            # (link inertia + reflected motor armature through the chain;
+            # see contact.derive_pair) — sets stable per-pair contact gains
+            geoms.append(Geom(body, tuple(-LINK_LEN * d), 0.016, m_eff=0.1))
 
     # the cube (last body)
     cube = n_fingers * LINKS_PER_FINGER
@@ -108,8 +116,12 @@ def hand_model(dt: float = 1.0 / 480.0, n_fingers: int = N_FINGERS) -> RigidBody
             limit_lo[dof], limit_hi[dof] = -0.3, 1.6
     damping = np.zeros(nv, np.float32)
     damping[:n_dof] = 0.08
+    # reflected motor inertia: the real Allegro's gearmotors dominate the
+    # apparent fingertip mass; raising armature both matches that and
+    # stabilizes fingertip contacts (apparent tip mass ~0.15 kg vs ~0.05
+    # at the old 0.002 — stiffer stable friction gains, less chatter)
     armature = np.zeros(nv, np.float32)
-    armature[:n_dof] = 0.002
+    armature[:n_dof] = 0.01
 
     return RigidBodyModel(
         nb=n_dof + 1,
@@ -167,10 +179,15 @@ class AllegroHand:
     max_episode_length = 600
     substeps = 8  # 480 Hz physics, 60 Hz control
 
-    success_tolerance = 0.2
-    reach_goal_bonus = 25.0
-    fall_penalty = -10.0
-    fall_height = -0.05
+    # reward constants per IsaacGymEnvs AllegroHand (the reference's
+    # flagship task config — the 3000 eval threshold in BASELINE.md is
+    # calibrated to THESE values: successTolerance 0.1, reachGoalBonus 250,
+    # fallDistance 0.24, fallPenalty 0, rotEps 0.1, actionPenaltyScale
+    # 0.0002; ref entry pql/utils/common.py:246-275)
+    success_tolerance = 0.1
+    reach_goal_bonus = 250.0
+    fall_penalty = 0.0
+    fall_dist = 0.24
     rot_eps = 0.1
     action_penalty = 0.0002
 
@@ -179,6 +196,26 @@ class AllegroHand:
         self.cube = self.n_fingers * LINKS_PER_FINGER
         self.cube_q = self.model.q_start[self.cube]
         self.cube_v = self.model.v_start[self.cube]
+        m = self.model
+        # anchored-contact pair gains (trace-time constants): finger-link
+        # spheres vs ground, finger spheres vs cube (2 fingers typically
+        # share the squeeze), cube corners vs ground (4 share the weight)
+        m_cube_face = point_eff_mass(m, self.cube, (CUBE_HALF, 0.0, 0.0))
+        m_corner = point_eff_mass(m, self.cube, (CUBE_HALF, CUBE_HALF, CUBE_HALF))
+        self._pp_ground = [
+            derive_pair(m, g.m_eff or point_eff_mass(m, g.body, g.offset))
+            for g in m.geoms
+        ]
+        self._pp_cube = [
+            derive_pair(
+                m,
+                1.0 / (1.0 / (g.m_eff or 0.1) + 1.0 / m_cube_face),
+                n_share=2,
+            )
+            for g in m.geoms
+        ]
+        self._pp_corner = derive_pair(m, m_corner, n_share=4)
+        self.n_contact_pairs = 2 * len(m.geoms) + 8
 
     def init_state(self, rng):
         m = self.model
@@ -196,7 +233,14 @@ class AllegroHand:
         )
         q = q.at[self.cube_q + 3 : self.cube_q + 7].set(_rand_quat(k2))
         qd = jnp.zeros(m.nv)
-        return {"q": q, "qd": qd, "target": _rand_quat(k3)}
+        return {
+            "q": q,
+            "qd": qd,
+            "target": _rand_quat(k3),
+            # anchored-contact state: 4 scalars (anchor xyz + engaged) per
+            # pair; engaged=0 → anchors snap on first touch
+            "contact": jnp.zeros(4 * self.n_contact_pairs),
+        }
 
     def _cube_pose(self, q):
         return q[self.cube_q : self.cube_q + 3], q[self.cube_q + 3 : self.cube_q + 7]
@@ -218,37 +262,45 @@ class AllegroHand:
             ]
         )
 
-    def _contact_fn(self, m, R_wb, p_wb, v):
+    def _contact_fn(self, m, R_wb, p_wb, v, cs):
+        """Stateful anchored contacts (static friction — the capability
+        the grasp-and-twist strategy needs; see contact.py v2 notes)."""
         half = [CUBE_HALF] * 3
-        f1, _ = ground_contacts_s(m, R_wb, p_wb, v)
-        f2, _ = sphere_box_contacts_s(m, R_wb, p_wb, v, self.cube, half)
-        f3 = box_ground_contacts_s(m, R_wb, p_wb, v, self.cube, half)
-        return add_fext_s(f1, f2, f3)
+        cs_new = list(cs)
+        f1, idx = ground_anchored_s(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
+        f2, idx = sphere_box_anchored_s(
+            m, R_wb, p_wb, v, self.cube, half, cs, cs_new, idx, self._pp_cube
+        )
+        f3, _ = box_ground_anchored_s(
+            m, R_wb, p_wb, v, self.cube, half, cs, cs_new, idx, self._pp_corner
+        )
+        return add_fext_s(f1, f2, f3), cs_new
 
     def dynamics(self, state, action, rng):
         m = self.model
 
-        q, qd = physics_substeps(
+        q, qd, contact = physics_substeps(
             m, state["q"], state["qd"], action, self.substeps,
-            contact_fn=self._contact_fn,
+            contact_fn=self._contact_fn, contact_state=state["contact"],
         )
         pos, quat = self._cube_pose(q)
         dist = rot_dist(quat, state["target"])
         success = dist < self.success_tolerance
-        dropped = pos[2] < self.fall_height
-        drifted = jnp.linalg.norm(pos[:2]) > 0.3
+        # IGE-style fall check: cube strays from the palm workspace
+        rest = jnp.array([0.0, 0.0, CUBE_HALF])
+        fallen = jnp.linalg.norm(pos - rest) > self.fall_dist
 
         reward = (
             1.0 / (dist + self.rot_eps)
             - self.action_penalty * jnp.sum(jnp.square(action))
             + jnp.where(success, self.reach_goal_bonus, 0.0)
-            + jnp.where(dropped, self.fall_penalty, 0.0)
+            + jnp.where(fallen, self.fall_penalty, 0.0)
         )
         # goal re-sampling on success (IGE keeps the episode running)
         new_target = jnp.where(success, _rand_quat(rng), state["target"])
         bad = jnp.logical_not(jnp.all(jnp.isfinite(q)))
-        terminated = jnp.logical_or(jnp.logical_or(dropped, drifted), bad)
-        next_state = {"q": q, "qd": qd, "target": new_target}
+        terminated = jnp.logical_or(fallen, bad)
+        next_state = {"q": q, "qd": qd, "target": new_target, "contact": contact}
         return next_state, reward, terminated, {"success": success.astype(jnp.float32)}
 
 

@@ -295,3 +295,238 @@ def add_fext_s(*fs):
     for g in fs[1:]:
         out = [sa.sv6_add(a, b) for a, b in zip(out, g)]
     return out
+
+
+# =====================================================================
+# Anchored contacts (v2) — static friction + effective-mass-stable gains
+#
+# The plain penalty model above has two failure modes that the round-3
+# AllegroHand flagship exposed (LEARNING.md; lab: scripts/contact_lab.py):
+#   1. NO static friction: the tangential force is a pure viscous slope
+#      capped by the Coulomb cone, so any sustained tangential load makes
+#      the contact creep forever — a 0.4·µ·mg push slides the cube at
+#      ~1 m/s. Grasp-and-twist (the strategy that earns the reference's
+#      AllegroHand threshold, IsaacGymEnvs via ref pql/utils/common.py:
+#      246-275) is impossible without stick.
+#   2. UNSTABLE rocking: fixed global kd/kt gains exceed the explicit-
+#      integration stability bound for the *rotational* contact mode —
+#      the point effective mass of a box corner is I/r² ≈ m/5, so gains
+#      sized for the translational mass pump energy and the cube
+#      trampolines off a 3° tilt.
+#
+# Fix: per-PAIR gains derived at trace time from point effective masses
+# (derive_pair), and a tangential ANCHOR spring that provides true
+# stiction up to the Coulomb cone, with the anchor dragged along the
+# cone surface when sliding (the standard box-friction regularization,
+# cf. MuJoCo's friction model / SAP solvers). Anchors are carried in the
+# env state as a flat per-env array (4 scalars per pair: anchor xyz +
+# engaged flag) — see dynamics.physics_substeps(contact_state=...).
+# =====================================================================
+
+from dataclasses import dataclass  # noqa: E402
+
+import numpy as _np  # noqa: E402
+
+
+@dataclass(frozen=True)
+class PairParams:
+    """Per contact-pair penalty gains (python floats, trace-time consts)."""
+
+    kp: float  # normal spring
+    kd: float  # normal damping
+    mu: float  # Coulomb friction coefficient
+    cap: float  # normal force cap
+    kpt: float  # tangential anchor spring
+    kdt: float  # tangential damping (also the slip catch slope)
+
+
+def point_eff_mass(model: RigidBodyModel, body: int, point_body) -> float:
+    """Apparent mass of rigid `body` at a body-frame point (worst
+    direction): 1/m_eff = 1/m + |ρ|²/λ_min(I). Conservative for
+    articulated links (joints add mobility) — Geom.m_eff overrides."""
+    m = float(model.mass[body])
+    rho = _np.asarray(point_body, float) - _np.asarray(model.com[body], float)
+    lam = float(_np.linalg.eigvalsh(_np.asarray(model.inertia[body], float))[0])
+    return 1.0 / (1.0 / m + float(rho @ rho) / max(lam, 1e-12))
+
+
+def derive_pair(
+    model: RigidBodyModel,
+    m_eff: float,
+    n_share: int = 1,
+    mu: float | None = None,
+    kp: float | None = None,
+) -> PairParams:
+    """Stable penalty gains for a contact pair of effective mass m_eff
+    shared by ~n_share simultaneous contacts on the same body.
+
+    Explicit (symplectic-Euler) stability at substep dt: springs need
+    ω·dt ≲ 1 and viscous terms need c·dt/m < 2. The normal spring keeps
+    the model's kp (clamped to the spring bound); damping and friction
+    gains are derived per pair and clamped to the viscous bound. The
+    anchor spring gives stiction compliance µ·fn/kpt (sub-mm at these
+    scales) instead of the unbounded creep of a viscous-only model."""
+    dt = model.dt
+    m_s = max(m_eff / max(n_share, 1), 1e-9)
+    kp_v = float(model.contact_kp if kp is None else kp)
+    kp_v = min(kp_v, 0.9 * m_s / dt**2)  # ω·dt ≤ ~0.95
+    kpt = min(kp_v, 0.8 * m_s / dt**2)
+    visc_bound = 0.7 * m_s / dt  # < 2·m/dt with margin for force coupling
+    kd = min(2.0 * model.contact_zeta * float(_np.sqrt(kp_v * m_s)), visc_bound)
+    kdt = visc_bound
+    return PairParams(
+        kp=kp_v,
+        kd=kd,
+        mu=float(model.friction_mu if mu is None else mu),
+        cap=float(model.contact_force_cap),
+        kpt=kpt,
+        kdt=kdt,
+    )
+
+
+def _anchored_force_s(depth, normal, vel, dx, engaged, pp: PairParams):
+    """Anchored contact force in a single frame (world or box-local).
+
+    depth > 0 penetrating; vel = relative velocity of the tracked point;
+    dx = tracked point − anchor; engaged = 0/1 was-in-contact flag.
+    Returns (force v3, dx_t' v3 so that anchor' = point − dx_t', engaged').
+    """
+    active = jnp.where(depth > 0.0, 1.0, 0.0)
+    vn = sa.v3_dot(vel, normal)
+    fn = jnp.clip(pp.kp * depth - pp.kd * vn, 0.0, pp.cap) * active
+    vt = sa.v3_sub(vel, sa.v3_scale(normal, vn))
+    dxn = sa.v3_dot(dx, normal)
+    dxt = sa.v3_sub(dx, sa.v3_scale(normal, dxn))
+    eng = active * engaged
+    ft_raw = [-(pp.kpt * dxt[k] * eng + pp.kdt * vt[k] * active) for k in range(3)]
+    ftn = sa.v3_norm(ft_raw) + 1e-9
+    scale = jnp.minimum(1.0, pp.mu * fn / ftn)
+    ft = [ft_raw[k] * scale for k in range(3)]
+    # anchor update: sliding (scale<1) drags the anchor to the cone
+    # surface (spring alone would reproduce the clamped force next step);
+    # first touch snaps the anchor to the point; inactive follows it.
+    slid = [
+        jnp.where(scale < 1.0, -(ft[k] + pp.kdt * vt[k] * active) / pp.kpt, dxt[k])
+        for k in range(3)
+    ]
+    dxt_new = [slid[k] * eng for k in range(3)]
+    force = [fn * normal[k] + ft[k] for k in range(3)]
+    return force, dxt_new, active
+
+
+def _cs_unpack(cs, idx):
+    """4 scalars per pair from the flat contact-state list."""
+    b = 4 * idx
+    return [cs[b], cs[b + 1], cs[b + 2]], cs[b + 3]
+
+
+def _cs_pack(out, idx, anchor, engaged):
+    b = 4 * idx
+    out[b], out[b + 1], out[b + 2] = anchor[0], anchor[1], anchor[2]
+    out[b + 3] = engaged
+
+
+def ground_anchored_s(model, R_wb, p_wb, v, cs, cs_new, base_idx, pps):
+    """Sphere-vs-ground with tangential anchors (world frame). Reads pairs
+    [base_idx, base_idx+len(geoms)) of the flat contact state `cs`, writes
+    updates into `cs_new` (a mutable list). Returns ([nb,6]-lists f_ext,
+    next free pair index)."""
+    f_ext = _zero_fext(model.nb)
+    up = [0.0, 0.0, 1.0]
+    for j, (g, pp) in enumerate(zip(model.geoms, pps)):
+        pos, vel = _point_state_s(R_wb, p_wb, v, g.body, [float(c) for c in g.offset])
+        anchor, engaged = _cs_unpack(cs, base_idx + j)
+        depth = g.radius - pos[2]
+        dx = sa.v3_sub(pos, anchor)
+        force, dxt_new, eng_new = _anchored_force_s(depth, up, vel, dx, engaged, pp)
+        f_ext = _add_wrench(f_ext, g.body, pos, force)
+        _cs_pack(cs_new, base_idx + j, sa.v3_sub(pos, dxt_new), eng_new)
+    return f_ext, base_idx + len(model.geoms)
+
+
+def sphere_box_anchored_s(model, R_wb, p_wb, v, box_body, half, cs, cs_new, base_idx, pps):
+    """Every model sphere vs an oriented box at `box_body`, with anchors
+    stored in the BOX frame (so stick is correct while the box rotates —
+    exactly the in-hand reorientation case). Equal-and-opposite wrenches."""
+    f_ext = _zero_fext(model.nb)
+    Rb, pb = R_wb[box_body], p_wb[box_body]
+    vlin_box = v[box_body][3:]
+    omega_box = v[box_body][:3]
+    for j, (g, pp) in enumerate(zip(model.geoms, pps)):
+        if g.body == box_body:
+            continue
+        pos, vel = _point_state_s(R_wb, p_wb, v, g.body, [float(c) for c in g.offset])
+        rel = sa.v3_sub(pos, pb)
+        local = sa.m33_T_vec(Rb, rel)
+        closest = [jnp.clip(local[k], -half[k], half[k]) for k in range(3)]
+        delta = sa.v3_sub(local, closest)
+        dist = sa.v3_norm(delta) + 1e-9
+        inside = (
+            (jnp.abs(local[0]) < half[0])
+            & (jnp.abs(local[1]) < half[1])
+            & (jnp.abs(local[2]) < half[2])
+        )
+        n_out = sa.v3_scale(delta, 1.0 / dist)
+        r0 = jnp.abs(local[0]) / half[0]
+        r1 = jnp.abs(local[1]) / half[1]
+        r2 = jnp.abs(local[2]) / half[2]
+        pick0 = (r0 >= r1) & (r0 >= r2)
+        pick1 = jnp.logical_not(pick0) & (r1 >= r2)
+        pick2 = jnp.logical_not(pick0) & jnp.logical_not(pick1)
+        n_in = [
+            jnp.sign(local[0]) * pick0,
+            jnp.sign(local[1]) * pick1,
+            jnp.sign(local[2]) * pick2,
+        ]
+        normal_local = [jnp.where(inside, n_in[k], n_out[k]) for k in range(3)]
+        pen = jnp.minimum(
+            jnp.minimum(half[0] - jnp.abs(closest[0]), half[1] - jnp.abs(closest[1])),
+            half[2] - jnp.abs(closest[2]),
+        )
+        depth = jnp.where(inside, g.radius + pen, g.radius - dist)
+
+        # relative velocity of the sphere center w.r.t. the box surface
+        # point, expressed in the box frame
+        box_pt_vel = sa.m33_vec(
+            Rb, sa.v3_add(vlin_box, sa.v3_cross(omega_box, local))
+        )
+        rel_vel_local = sa.m33_T_vec(Rb, sa.v3_sub(vel, box_pt_vel))
+
+        anchor, engaged = _cs_unpack(cs, base_idx + j)  # box-frame anchor
+        dx = sa.v3_sub(local, anchor)
+        force_l, dxt_new, eng_new = _anchored_force_s(
+            depth, normal_local, rel_vel_local, dx, engaged, pp
+        )
+        force = sa.m33_vec(Rb, force_l)
+        f_ext = _add_wrench(f_ext, g.body, pos, force)
+        neg = sa.v3_scale(force, -1.0)
+        torque = sa.v3_cross(pos, force)
+        f_ext[box_body] = sa.sv6_add(
+            f_ext[box_body], [-torque[0], -torque[1], -torque[2]] + neg
+        )
+        _cs_pack(cs_new, base_idx + j, sa.v3_sub(local, dxt_new), eng_new)
+    return f_ext, base_idx + len(model.geoms)
+
+
+_CORNER_SIGNS = [
+    (sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)
+]
+
+
+def box_ground_anchored_s(model, R_wb, p_wb, v, box_body, half, cs, cs_new, base_idx, pp):
+    """Oriented-box corners vs the ground plane with per-corner anchors
+    (world frame). One PairParams shared by the 8 corners."""
+    f_ext = _zero_fext(model.nb)
+    Rb, pb = R_wb[box_body], p_wb[box_body]
+    omega, vlin = v[box_body][:3], v[box_body][3:]
+    up = [0.0, 0.0, 1.0]
+    for j, (sx, sy, sz) in enumerate(_CORNER_SIGNS):
+        local = [sx * half[0], sy * half[1], sz * half[2]]
+        pos = sa.v3_add(pb, sa.m33_vec(Rb, local))
+        vel = sa.m33_vec(Rb, sa.v3_add(vlin, sa.v3_cross(omega, local)))
+        anchor, engaged = _cs_unpack(cs, base_idx + j)
+        dx = sa.v3_sub(pos, anchor)
+        force, dxt_new, eng_new = _anchored_force_s(-pos[2], up, vel, dx, engaged, pp)
+        f_ext = _add_wrench(f_ext, box_body, pos, force)
+        _cs_pack(cs_new, base_idx + j, sa.v3_sub(pos, dxt_new), eng_new)
+    return f_ext, base_idx + 8

@@ -426,18 +426,28 @@ def _integrate_parts(model: RigidBodyModel, q, qd, qdd):
     return q_out, qd_new
 
 
-def _step_parts(model: RigidBodyModel, q, qd, action, contact_fn=None, f_ext_s=None):
+def _step_parts(model: RigidBodyModel, q, qd, action, contact_fn=None, f_ext_s=None,
+                contact_state=None):
     """One scalar substep on per-dof scalar LISTS q [nq], qd [nv] →
-    (q' list, qd' list). Kinematics computed once for contacts + dynamics."""
+    (q' list, qd' list[, contact_state']). Kinematics computed once for
+    contacts + dynamics. With contact_state (flat scalar list), contact_fn
+    is stateful: contact_fn(m, R, p, v, cs) → (f_ext, cs')."""
     R_wb, p_wb, Xup, S_axis = _kin_s(model, q)
     v = _vel_s(model, Xup, S_axis, qd)
+    cs_new = None
     if contact_fn is not None:
-        f_ext_s = contact_fn(model, R_wb, p_wb, v)
+        if contact_state is not None:
+            f_ext_s, cs_new = contact_fn(model, R_wb, p_wb, v, contact_state)
+        else:
+            f_ext_s = contact_fn(model, R_wb, p_wb, v)
     M = _mass_matrix_s(model, Xup, S_axis)
     C = _bias_forces_s(model, Xup, S_axis, v, qd, f_ext_s, R_wb, p_wb)
     tau = _tau_s(model, q, action)
     qdd = _spd_solve_s(M, [tau[d] - C[d] for d in range(model.nv)])
-    return _integrate_parts(model, q, qd, qdd)
+    q2, qd2 = _integrate_parts(model, q, qd, qdd)
+    if contact_state is not None:
+        return q2, qd2, cs_new
+    return q2, qd2
 
 
 def physics_step(model: RigidBodyModel, q, qd, action, contact_fn=None):
@@ -454,24 +464,45 @@ def physics_step(model: RigidBodyModel, q, qd, action, contact_fn=None):
     return jnp.stack(q2), jnp.stack(qd2)
 
 
-def physics_substeps(model: RigidBodyModel, q, qd, action, substeps: int, contact_fn=None):
+def physics_substeps(model: RigidBodyModel, q, qd, action, substeps: int, contact_fn=None,
+                     contact_state=None):
     """`substeps` scalar substeps with PER-DOF SCALARS as the lax.scan
     carry. Carrying stacked [nq]/[nv] arrays instead forces a slice at
     every substep entry and a stack at every exit; under vmap those
     materialize as [B,1]-shaped columns that TPU tiles as T(1,128) —
     128x padded HBM traffic at every scan iteration (profiled ~140
     us/iter on Ant@4096). A tuple-of-[B]-vectors carry keeps everything
-    in clean lanes; stacking happens once per control step."""
+    in clean lanes; stacking happens once per control step.
+
+    contact_state: optional flat [nc] array of anchored-contact state
+    (see pql_tpu.physics.contact anchored fns) — unpacked to scalars,
+    carried through the scan, repacked once. With it, contact_fn must be
+    the stateful form and the return is (q', qd', contact_state')."""
     q_l = tuple(q[i] for i in range(model.nq))
     qd_l = tuple(qd[d] for d in range(model.nv))
 
-    def body(carry, _):
-        q_t, qd_t = carry
-        q2, qd2 = _step_parts(model, list(q_t), list(qd_t), action, contact_fn)
-        return (tuple(q2), tuple(qd2)), None
+    if contact_state is None:
+        def body(carry, _):
+            q_t, qd_t = carry
+            q2, qd2 = _step_parts(model, list(q_t), list(qd_t), action, contact_fn)
+            return (tuple(q2), tuple(qd2)), None
 
-    (q_l, qd_l), _ = jax.lax.scan(body, (q_l, qd_l), None, length=substeps)
-    return jnp.stack(q_l), jnp.stack(qd_l)
+        (q_l, qd_l), _ = jax.lax.scan(body, (q_l, qd_l), None, length=substeps)
+        return jnp.stack(q_l), jnp.stack(qd_l)
+
+    nc = contact_state.shape[-1]
+    cs_l = tuple(contact_state[..., i] for i in range(nc))
+
+    def body(carry, _):
+        q_t, qd_t, cs_t = carry
+        q2, qd2, cs2 = _step_parts(
+            model, list(q_t), list(qd_t), action, contact_fn,
+            contact_state=list(cs_t),
+        )
+        return (tuple(q2), tuple(qd2), tuple(cs2)), None
+
+    (q_l, qd_l, cs_l), _ = jax.lax.scan(body, (q_l, qd_l, cs_l), None, length=substeps)
+    return jnp.stack(q_l), jnp.stack(qd_l), jnp.stack(cs_l, axis=-1)
 
 
 def _fd_core(model: RigidBodyModel, q, qd, action, f_ext_s, kin=None):

@@ -24,11 +24,19 @@ HINGE = "hinge"
 @dataclass(frozen=True)
 class Geom:
     """Collision sphere attached to a body (the engine's contact primitive);
-    boxes are supported as *targets* (sphere-vs-box tests)."""
+    boxes are supported as *targets* (sphere-vs-box tests).
+
+    m_eff: optional apparent (point) mass of the body at this geom, used by
+    the anchored contact model to derive stable per-pair gains. For links of
+    an articulated chain the true apparent mass at the tip depends on the
+    whole chain + armature and can't be read off the body mass; models that
+    care set it explicitly (see pql_tpu.physics.contact.point_eff_mass for
+    the rigid-body default)."""
 
     body: int
     offset: tuple[float, float, float]
     radius: float
+    m_eff: float | None = None
 
 
 @dataclass(frozen=True)
@@ -61,6 +69,10 @@ class RigidBodyModel:
     # contact's normal force and every dof's speed (applied each substep)
     contact_force_cap: float = 1.0e4
     max_dof_speed: float = 100.0
+    # anchored-contact model (contact.derive_pair): target damping ratio;
+    # per-pair damping/friction gains are derived from point effective
+    # masses and clamped to the explicit-integration stability bound
+    contact_zeta: float = 1.0
 
     # -------- derived layout (computed in __post_init__-style helpers) ----
 

@@ -1,0 +1,329 @@
+#!/usr/bin/env python
+"""Contact-fidelity lab: isolated physics scenarios with pass criteria.
+
+The round-3 flagship diagnosis (LEARNING.md, VERDICT round 3) is that the
+penalty-contact model cannot transmit the tangential forces the
+AllegroHand grasp-and-twist strategy needs (reference task:
+IsaacGymEnvs AllegroHand via pql/utils/common.py:246-275). This lab
+measures that claim directly on tiny scripted scenes — no RL in the
+loop — so contact-model changes can be judged in seconds:
+
+  cube_rest   free cube at rest on the plane: pose drift + qd jitter
+  cube_push   constant lateral force below/above the Coulomb cone:
+              a sub-cone push must NOT slide the cube (static friction)
+  cube_twist  constant yaw torque: corner friction must resist
+  cube_tip    lateral force applied at the TOP edge: the cube must TIP
+              (roll over an edge) rather than slide away — the primitive
+              behind every non-yaw in-hand reorientation
+  ant_stand   Ant, zero actions: height hold + foot slip chatter
+  hand_pinch  scripted finger curl+abduction on the real AllegroHand
+              model: squeeze the cube, sweep the abduction joints, and
+              measure how much cube yaw the fingers drag (tracking
+              ratio ~1 = rolling grasp, ~0 = total slip)
+
+Usage: python scripts/contact_lab.py [scenario ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+# the image's site hook imports jax with JAX_PLATFORMS=axon (the TPU
+# tunnel) at interpreter startup; env vars are too late — force CPU via
+# config so the lab never queues behind chip jobs (see tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/pql_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+import jax.numpy as jnp
+
+from pql_tpu.envs.hand import AllegroHand, CUBE_HALF, hand_model
+from pql_tpu.envs.rigid import Ant
+from pql_tpu.physics.contact import (
+    box_ground_anchored_s,
+    derive_pair,
+    ground_contacts_s,
+    point_eff_mass,
+)
+from pql_tpu.physics.dynamics import physics_substeps
+from pql_tpu.physics.spatial import quat_mul, quat_inv
+
+
+def cube_only_model():
+    """Just the free cube from the hand scene (n_fingers=0)."""
+    return hand_model(n_fingers=0)
+
+
+def run_cube(model, wrench_fn, seconds=1.0, z0=None, quat0=None):
+    """Roll a cube-only scene forward under the ANCHORED contact model.
+    wrench_fn(t, pos, R) -> extra [6] world wrench on the cube ([n; f]
+    about the world origin)."""
+    substeps = max(int(round((1.0 / 60.0) / model.dt)), 1)
+    n_ctrl = int(seconds * 60)
+    q0 = jnp.asarray(model.neutral_q())
+    q0 = q0.at[2].set(CUBE_HALF if z0 is None else z0)
+    if quat0 is not None:
+        q0 = q0.at[3:7].set(jnp.asarray(quat0))
+    qd0 = jnp.zeros(model.nv)
+    pp = derive_pair(
+        model, point_eff_mass(model, 0, (CUBE_HALF, CUBE_HALF, CUBE_HALF)), n_share=4
+    )
+
+    def contact_fn_builder(t):
+        def contact_fn(m, R_wb, p_wb, v, cs):
+            cs_new = list(cs)
+            f, _ = box_ground_anchored_s(
+                m, R_wb, p_wb, v, 0, [CUBE_HALF] * 3, cs, cs_new, 0, pp
+            )
+            extra = wrench_fn(t, p_wb[0], R_wb[0])
+            f[0] = [f[0][k] + extra[k] for k in range(6)]
+            return f, cs_new
+
+        return contact_fn
+
+    @jax.jit
+    def ctrl_step(carry, t):
+        q, qd, cs = carry
+        q, qd, cs = physics_substeps(
+            model, q, qd, jnp.zeros(max(model.nu, 1)), substeps,
+            contact_fn=contact_fn_builder(t), contact_state=cs,
+        )
+        return (q, qd, cs), (q, qd)
+
+    carry = (q0, qd0, jnp.zeros(32))
+    qs, qds = [], []
+    for t in range(n_ctrl):
+        carry, (q, qd) = ctrl_step(carry, t)
+        qs.append(np.asarray(q))
+        qds.append(np.asarray(qd))
+    return np.stack(qs), np.stack(qds)
+
+
+def quat_angle(q1, q2):
+    qd = quat_mul(jnp.asarray(q1), quat_inv(jnp.asarray(q2)))
+    return float(2.0 * jnp.arcsin(jnp.clip(jnp.linalg.norm(qd[1:]), 0.0, 1.0)))
+
+
+def scenario_cube_rest():
+    m = cube_only_model()
+    qs, qds = run_cube(m, lambda t, p, R: [0.0] * 6, seconds=1.0)
+    drift = float(np.linalg.norm(qs[-1][:2]))
+    ang = quat_angle(qs[-1][3:7], qs[0][3:7])
+    jit = float(np.sqrt(np.mean(qds[30:] ** 2)))
+    print(f"cube_rest   : xy drift {drift*1000:7.2f} mm | quat drift {np.degrees(ang):6.2f} deg | qd rms {jit:.4f}")
+    ok = drift < 0.005 and jit < 0.05
+    print(f"cube_rest   : {'PASS' if ok else 'FAIL'} (want drift<5mm, qd rms<0.05)")
+    return ok
+
+
+def scenario_cube_settle():
+    """Drop from 5mm + drop tilted 3 deg: both must come to rest (the
+    tilted case is the rocking mode that blew up the old fixed-gain
+    model — corner contacts have ~m/5 rotational effective mass)."""
+    m = cube_only_model()
+    ok = True
+    for name, z0, tilt in (("drop 5mm", CUBE_HALF + 0.005, 0.0), ("tilt 3deg", CUBE_HALF + 0.002, 0.03)):
+        quat0 = None
+        if tilt:
+            quat0 = [np.cos(tilt / 2), np.sin(tilt / 2), 0.0, 0.0]
+        qs, qds = run_cube(m, lambda t, p, R: [0.0] * 6, seconds=1.0, z0=z0, quat0=quat0)
+        jit = float(np.sqrt(np.mean(qds[30:] ** 2)))
+        zmax = float(qs[30:, 2].max())
+        good = jit < 0.05 and zmax < CUBE_HALF + 0.01
+        ok = ok and good
+        print(f"cube_settle : {name}: qd rms {jit:.4f} | max z {zmax:.4f} {'PASS' if good else 'FAIL'}")
+    print(f"cube_settle : {'PASS' if ok else 'FAIL'}")
+    return ok
+
+
+def scenario_cube_push():
+    m = cube_only_model()
+    mg = float(m.mass[0]) * 9.81
+    ok = True
+    for alpha, should_slide in ((0.4, False), (0.8, False), (1.8, True)):
+        F = alpha * mg
+
+        def wf(t, p, R, F=F):
+            # horizontal force F x̂ at the cube CENTER: n = p x f
+            return [0.0, F * p[2], -F * p[1], F, 0.0, 0.0]
+
+        qs, _ = run_cube(m, wf, seconds=1.0)
+        disp = float(np.linalg.norm(qs[-1][:2]))
+        slid = disp > 0.02
+        good = slid == should_slide
+        ok = ok and good
+        print(
+            f"cube_push   : {alpha:.1f}*mg -> {disp*1000:8.2f} mm in 1s "
+            f"({'slides' if slid else 'holds'}) {'PASS' if good else 'FAIL'}"
+        )
+    print(f"cube_push   : {'PASS' if ok else 'FAIL'} (mu={m.friction_mu}: <=0.8mg holds, 1.8mg slides)")
+    return ok
+
+
+def scenario_cube_twist():
+    m = cube_only_model()
+    mg = float(m.mass[0]) * 9.81
+    # torsional resistance from 4 corners at lever ~CUBE_HALF
+    tau_cap = m.friction_mu * mg * CUBE_HALF
+    ok = True
+    for beta, should_spin in ((0.5, False), (3.0, True)):
+        tau = beta * tau_cap
+
+        def wf(t, p, R, tau=tau):
+            return [0.0, 0.0, tau, 0.0, 0.0, 0.0]
+
+        qs, _ = run_cube(m, wf, seconds=1.0)
+        ang = quat_angle(qs[-1][3:7], qs[0][3:7])
+        spun = ang > np.radians(20)
+        good = spun == should_spin
+        ok = ok and good
+        print(
+            f"cube_twist  : {beta:.1f}*cap -> {np.degrees(ang):7.2f} deg in 1s "
+            f"({'spins' if spun else 'holds'}) {'PASS' if good else 'FAIL'}"
+        )
+    print(f"cube_twist  : {'PASS' if ok else 'FAIL'}")
+    return ok
+
+
+def scenario_cube_tip():
+    m = cube_only_model()
+    mg = float(m.mass[0]) * 9.81
+    # push at the top edge: tipping needs F * 2h > mg * h -> F > mg/2,
+    # and the bottom edge must STICK (friction >= F) for a clean tip.
+    # Release the force once the tip is committed (~35 deg) — the cube's
+    # inertia is tiny, so a force held past the pivot point correctly
+    # launches a cartwheel (that's dynamics, not a contact failure).
+    F = 0.7 * mg
+
+    def wf(t, p, R):
+        # rotation about y so far: R[2][2] = cos(theta)
+        committed = R[2][2] < np.cos(np.radians(35.0))
+        F_t = jnp.where(committed, 0.0, F)
+        # n = pt x f for pt = (px, py, pz+h), f = (F_t, 0, 0)
+        return [0.0, (p[2] + CUBE_HALF) * F_t, -p[1] * F_t, F_t, 0.0, 0.0]
+
+    qs, _ = run_cube(m, wf, seconds=1.2)
+    ang = np.degrees(quat_angle(qs[-1][3:7], qs[0][3:7]))
+    disp = float(np.linalg.norm(qs[-1][:2]))
+    rolled = 45 < ang < 135  # settled on the adjacent face
+    ok = rolled and disp < 4 * CUBE_HALF
+    print(
+        f"cube_tip    : rot {ang:6.1f} deg | slide {disp*1000:7.1f} mm "
+        f"-> {'tips' if rolled else 'no tip'} {'PASS' if ok else 'FAIL'} (want 45<rot<135 deg, slide<{4*CUBE_HALF*1000:.0f}mm)"
+    )
+    return ok
+
+
+def scenario_ant_stand():
+    task = Ant()
+    m = task.model
+    key = jax.random.PRNGKey(0)
+    state = task.init_state(key)
+    q, qd = state["q"], state["qd"]
+
+    @jax.jit
+    def step(q, qd):
+        return physics_substeps(
+            m, q, qd, jnp.zeros(task.action_dim), task.substeps,
+            contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+        )
+
+    hs, slips = [], []
+    prev_q = q
+    for t in range(120):
+        q, qd = step(q, qd)
+        hs.append(float(q[2]))
+        slips.append(float(np.linalg.norm(np.asarray(q[:2]) - np.asarray(prev_q[:2]))) * 60)
+        prev_q = q
+    h_std = float(np.std(hs[30:]))
+    drift = float(np.linalg.norm(np.asarray(q[:2])))
+    print(f"ant_stand   : height {hs[-1]:.3f} (std {h_std*1000:.1f} mm) | xy drift {drift*1000:.1f} mm in 2s")
+    ok = h_std < 0.01 and drift < 0.05
+    print(f"ant_stand   : {'PASS' if ok else 'FAIL'}")
+    return ok
+
+
+def scenario_hand_pinch():
+    """Scripted grasp-and-twist on the real AllegroHand model.
+
+    Phase A (0-0.5s): curl all fingers onto the cube (constant curl
+    torque), abduction centered. Phase B (0.5-2.0s): hold the squeeze and
+    drive every abduction joint through its range in the same rotational
+    sense — with working friction the fingertips drag the cube's yaw
+    along. Report cube yaw swept vs abduction sweep."""
+    task = AllegroHand()
+    m = task.model
+    state = task.init_state(jax.random.PRNGKey(1))
+    q = state["q"].at[task.cube_q + 3 : task.cube_q + 7].set(
+        jnp.array([0.0, 0.0, 0.0, 1.0])
+    )
+    qd = state["qd"]
+    n_dof = task.n_dof
+
+    is_abduct = np.arange(n_dof) % 4 == 0
+
+    def action_at(t):
+        # curl torque to squeeze (negative curls press inward/down; sign
+        # found empirically — flip if tips rise away from the cube)
+        a = np.zeros(task.action_dim, np.float32)
+        curl = min(t / 30.0, 1.0)
+        a[~is_abduct] = 0.55 * curl
+        if t >= 30:
+            sweep = min((t - 30) / 60.0, 1.0)
+            a[is_abduct] = 0.9 * np.sin(np.pi * sweep)
+        return jnp.asarray(a)
+
+    cs = state["contact"]
+
+    @jax.jit
+    def step(q, qd, cs, action):
+        return physics_substeps(
+            m, q, qd, action, task.substeps, contact_fn=task._contact_fn,
+            contact_state=cs,
+        )
+
+    yaw0 = None
+    for t in range(150):
+        q, qd, cs = step(q, qd, cs, action_at(t))
+        if t == 29:
+            quat29 = np.asarray(q[task.cube_q + 3 : task.cube_q + 7])
+        if t == 30:
+            yaw0 = np.asarray(q[task.cube_q + 3 : task.cube_q + 7])
+    quat_end = np.asarray(q[task.cube_q + 3 : task.cube_q + 7])
+    pos_end = np.asarray(q[task.cube_q : task.cube_q + 3])
+    ang = quat_angle(quat_end, yaw0)
+    abd = np.asarray(q[: n_dof][is_abduct[:n_dof]])
+    print(
+        f"hand_pinch  : cube rot {np.degrees(ang):6.1f} deg | cube pos {pos_end.round(3)} | "
+        f"abduction q {abd.round(2)}"
+    )
+    ok = np.degrees(ang) > 25 and pos_end[2] > -0.01 and np.linalg.norm(pos_end[:2]) < 0.15
+    print(f"hand_pinch  : {'PASS' if ok else 'FAIL'} (want cube dragged >25 deg without escape)")
+    return ok
+
+
+SCENARIOS = {
+    "cube_rest": scenario_cube_rest,
+    "cube_settle": scenario_cube_settle,
+    "cube_push": scenario_cube_push,
+    "cube_twist": scenario_cube_twist,
+    "cube_tip": scenario_cube_tip,
+    "ant_stand": scenario_ant_stand,
+    "hand_pinch": scenario_hand_pinch,
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(SCENARIOS)
+    results = {}
+    for n in names:
+        results[n] = SCENARIOS[n]()
+        print()
+    bad = [n for n, r in results.items() if not r]
+    print("ALL PASS" if not bad else f"FAILING: {', '.join(bad)}")

@@ -70,7 +70,7 @@ def main():
     task = sys.argv[1] if len(sys.argv) > 1 else "Ant"
     num_envs = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     ipc = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    sample_slots = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    sample_slots = int(sys.argv[4]) if len(sys.argv) > 4 and sys.argv[4] else None
     # optional 5th arg: 1 = also time algo.prefetch_batches variants
     probe_prefetch = len(sys.argv) > 5 and sys.argv[5] == "1"
 
