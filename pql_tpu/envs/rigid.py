@@ -3,7 +3,8 @@
 Ant is the workhorse benchmark of the reference (IsaacGymEnvs 'Ant' at
 4096 envs, reference pql/utils/common.py:246-250, BASELINE.md). This is a
 JAX-native quadruped of the same structure — free-base torso, 4 legs ×
-(hip yaw hinge + knee pitch hinge), 8 actuators, penalty ground contact —
+(hip yaw hinge + knee pitch hinge), 8 actuators, anchored ground contact
+(static friction + stable per-pair gains, pql_tpu.physics.contact v2) —
 with IGE-style observation/reward shaping (forward progress + alive bonus
 − control cost, terminate on fall). Exact obs layout differs from IGE
 (which exposes PhysX-specific force sensors); capability and scale parity
@@ -18,7 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from pql_tpu.physics import FREE, Geom, HINGE, RigidBodyModel
-from pql_tpu.physics.contact import ground_contacts, ground_contacts_s
+from pql_tpu.physics.contact import (
+    derive_pair,
+    ground_anchored_s,
+    ground_contacts,
+    point_eff_mass,
+)
 from pql_tpu.physics.dynamics import (
     body_velocities,
     fd_step,
@@ -72,7 +78,12 @@ def ant_model(dt: float = 1.0 / 240.0) -> RigidBodyModel:
         mass.append(m_shin)
         com.append(0.5 * shin_len * d)
         inertia.append(rod_inertia(m_shin, shin_len, d))
-        geoms.append(Geom(shin, tuple(shin_len * d), 0.08))  # foot
+        # m_eff: apparent foot mass for the perpendicular (contact-relevant)
+        # rotation mode — 1/(1/m + |ρ|²/i_perp) with i_perp = m·l²/3; the
+        # generic worst-direction point_eff_mass degenerates on thin rods
+        # (λ_min is the regularized about-axis inertia, whose rotation
+        # never moves an on-axis contact point)
+        geoms.append(Geom(shin, tuple(shin_len * d), 0.08, m_eff=0.5))  # foot
 
     nv = 6 + 8
     limit_lo = np.full(nv, -np.inf, np.float32)
@@ -129,6 +140,16 @@ class Ant:
 
     def __init__(self):
         self.model = ant_model()
+        m = self.model
+        # anchored-contact gains (trace-time constants): per-geom stable
+        # penalty pairs vs the ground — static friction for push-off
+        # (contact.py v2; the viscous-only model creeps under sustained
+        # tangential load, capping gait speed)
+        self._pp_ground = [
+            derive_pair(m, g.m_eff or point_eff_mass(m, g.body, g.offset))
+            for g in m.geoms
+        ]
+        self.n_contact_pairs = len(m.geoms)
 
     def init_state(self, rng):
         m = self.model
@@ -141,7 +162,7 @@ class Ant:
             q = q.at[8 + 2 * k].set(self.init_knee)
         q = q.at[7:].add(jax.random.uniform(k1, (8,), jnp.float32, -0.1, 0.1))
         qd = 0.01 * jax.random.normal(k2, (m.nv,), jnp.float32)
-        return {"q": q, "qd": qd}
+        return {"q": q, "qd": qd, "contact": jnp.zeros(4 * self.n_contact_pairs)}
 
     def _kin(self, q, qd):
         R_wb, p_wb, Xup, S = fwd_kinematics(self.model, q)
@@ -170,14 +191,19 @@ class Ant:
             ]
         )
 
+    def _contact_fn(self, m, R_wb, p_wb, v, cs):
+        cs_new = list(cs)
+        f, _ = ground_anchored_s(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
+        return f, cs_new
+
     def dynamics(self, state, action, rng):
         m = self.model
         q, qd = state["q"], state["qd"]
         x_before = q[0]
 
-        q, qd = physics_substeps(
+        q, qd, contact = physics_substeps(
             m, q, qd, action, self.substeps,
-            contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+            contact_fn=self._contact_fn, contact_state=state["contact"],
         )
 
         dt_ctrl = m.dt * self.substeps
@@ -192,7 +218,7 @@ class Ant:
         bad = jnp.logical_not(jnp.all(jnp.isfinite(q)))
         terminated = jnp.logical_or(fell, bad)
         reward = jnp.where(terminated, reward - 1.0, reward)
-        return {"q": q, "qd": qd}, reward, terminated, {}
+        return {"q": q, "qd": qd, "contact": contact}, reward, terminated, {}
 
 
 def humanoid_model(dt: float = 1.0 / 240.0) -> RigidBodyModel:
@@ -233,7 +259,8 @@ def humanoid_model(dt: float = 1.0 / 240.0) -> RigidBodyModel:
         mass.append(m_thigh)
         com.append(0.5 * thigh_len * down)
         inertia.append(rod_inertia(m_thigh, thigh_len, down))
-        geoms.append(Geom(thigh, (0.0, 0.0, -thigh_len), 0.05))
+        # explicit m_eff: perpendicular-mode apparent mass (see ant_model)
+        geoms.append(Geom(thigh, (0.0, 0.0, -thigh_len), 0.05, m_eff=2.5))
         shin = len(parent)
         parent.append(thigh)
         joint_type.append(HINGE)
@@ -242,7 +269,7 @@ def humanoid_model(dt: float = 1.0 / 240.0) -> RigidBodyModel:
         mass.append(m_shin)
         com.append(0.5 * shin_len * down)
         inertia.append(rod_inertia(m_shin, shin_len, down))
-        geoms.append(Geom(shin, (0.0, 0.0, -shin_len), 0.06))  # foot sphere
+        geoms.append(Geom(shin, (0.0, 0.0, -shin_len), 0.06, m_eff=1.4))  # foot
     for side, y in (("r", -0.2), ("l", 0.2)):
         arm = len(parent)
         parent.append(0)
@@ -318,6 +345,12 @@ class Humanoid:
 
     def __init__(self):
         self.model = humanoid_model()
+        m = self.model
+        self._pp_ground = [
+            derive_pair(m, g.m_eff or point_eff_mass(m, g.body, g.offset))
+            for g in m.geoms
+        ]
+        self.n_contact_pairs = len(m.geoms)
 
     def init_state(self, rng):
         m = self.model
@@ -326,7 +359,7 @@ class Humanoid:
         q = q.at[2].set(self.init_height)
         q = q.at[7:].add(jax.random.uniform(k1, (8,), jnp.float32, -0.05, 0.05))
         qd = 0.01 * jax.random.normal(k2, (m.nv,), jnp.float32)
-        return {"q": q, "qd": qd}
+        return {"q": q, "qd": qd, "contact": jnp.zeros(4 * self.n_contact_pairs)}
 
     def get_obs(self, state):
         m = self.model
@@ -343,14 +376,19 @@ class Humanoid:
             [q[2:3], base_quat, lin_vel_world, qd[:3], up, q[7:], qd[6:], feet]
         )
 
+    def _contact_fn(self, m, R_wb, p_wb, v, cs):
+        cs_new = list(cs)
+        f, _ = ground_anchored_s(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
+        return f, cs_new
+
     def dynamics(self, state, action, rng):
         m = self.model
         q, qd = state["q"], state["qd"]
         x_before = q[0]
 
-        q, qd = physics_substeps(
+        q, qd, contact = physics_substeps(
             m, q, qd, action, self.substeps,
-            contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+            contact_fn=self._contact_fn, contact_state=state["contact"],
         )
         dt_ctrl = m.dt * self.substeps
         forward_vel = (q[0] - x_before) / dt_ctrl
@@ -362,7 +400,7 @@ class Humanoid:
         bad = jnp.logical_not(jnp.all(jnp.isfinite(q)))
         terminated = jnp.logical_or(fell, bad)
         reward = jnp.where(terminated, reward - 1.0, reward)
-        return {"q": q, "qd": qd}, reward, terminated, {}
+        return {"q": q, "qd": qd, "contact": contact}, reward, terminated, {}
 
 
 def anymal_model(dt: float = 1.0 / 240.0) -> RigidBodyModel:
@@ -418,7 +456,8 @@ def anymal_model(dt: float = 1.0 / 240.0) -> RigidBodyModel:
             mass.append(m_shin)
             com.append(0.5 * shin_len * down)
             inertia.append(rod_inertia(m_shin, shin_len, down))
-            geoms.append(Geom(shin, (0.0, 0.0, -shin_len), 0.03))  # foot
+            # explicit m_eff: perpendicular-mode apparent mass (see ant_model)
+            geoms.append(Geom(shin, (0.0, 0.0, -shin_len), 0.03, m_eff=0.15))
 
     nv = 6 + 12
     limit_lo = np.full(nv, -np.inf, np.float32)
@@ -478,6 +517,12 @@ class Anymal:
 
     def __init__(self):
         self.model = anymal_model()
+        m = self.model
+        self._pp_ground = [
+            derive_pair(m, g.m_eff or point_eff_mass(m, g.body, g.offset))
+            for g in m.geoms
+        ]
+        self.n_contact_pairs = len(m.geoms)
 
     def init_state(self, rng):
         m = self.model
@@ -492,7 +537,12 @@ class Anymal:
         cmd = jax.random.uniform(k3, (3,), jnp.float32, -1.0, 1.0) * jnp.array(
             [self.lin_vel_scale, 0.5, self.ang_vel_scale]
         )
-        return {"q": q, "qd": qd, "cmd": cmd}
+        return {
+            "q": q,
+            "qd": qd,
+            "cmd": cmd,
+            "contact": jnp.zeros(4 * self.n_contact_pairs),
+        }
 
     def get_obs(self, state):
         q, qd = state["q"], state["qd"]
@@ -503,13 +553,18 @@ class Anymal:
             [q[2:3], base_quat, lin_vel_world, qd[:3], up, q[7:], qd[6:], state["cmd"]]
         )
 
+    def _contact_fn(self, m, R_wb, p_wb, v, cs):
+        cs_new = list(cs)
+        f, _ = ground_anchored_s(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
+        return f, cs_new
+
     def dynamics(self, state, action, rng):
         m = self.model
         q, qd = state["q"], state["qd"]
 
-        q, qd = physics_substeps(
+        q, qd, contact = physics_substeps(
             m, q, qd, action, self.substeps,
-            contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+            contact_fn=self._contact_fn, contact_state=state["contact"],
         )
         lin_vel_world = quat_rotate(q[3:7], qd[3:6])
         cmd = state["cmd"]
@@ -525,4 +580,9 @@ class Anymal:
         bad = jnp.logical_not(jnp.all(jnp.isfinite(q)))
         terminated = jnp.logical_or(fell, bad)
         reward = jnp.where(terminated, reward - 1.0, reward)
-        return {"q": q, "qd": qd, "cmd": cmd}, reward, terminated, {}
+        return (
+            {"q": q, "qd": qd, "cmd": cmd, "contact": contact},
+            reward,
+            terminated,
+            {},
+        )

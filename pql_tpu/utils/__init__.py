@@ -10,15 +10,23 @@ def enable_compilation_cache(path: str | None = None, min_secs: float = 10.0) ->
     """Turn on JAX's persistent compilation cache (safe no-op on backends
     that can't serialize executables). The fused PQL step with the
     scalar-unrolled physics substep compiles in minutes the first time; a
-    warm cache makes every later process start in seconds."""
+    warm cache makes every later process start in seconds.
+
+    The default cache dir is REPO-LOCAL (``<repo>/.xla_cache``) so warmed
+    executables can be committed and survive a machine re-image — the
+    round-1..3 driver benches all lost configs to cold-cache compile time
+    on freshly imaged hosts. Override with $PQL_TPU_CACHE_DIR."""
     import os
 
     import jax
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
-            path or os.path.expanduser("~/.cache/pql_tpu/jax"),
+            path
+            or os.environ.get("PQL_TPU_CACHE_DIR")
+            or os.path.join(repo_root, ".xla_cache"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", float(min_secs))
     except Exception:  # pragma: no cover - older jax without the knobs
