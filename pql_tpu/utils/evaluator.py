@@ -69,6 +69,23 @@ class Evaluator:
         metrics = self._rollout(actor_params, obs_rms, rng)
         return {k: float(v) for k, v in metrics.items()}
 
+    # -- overlapped evaluation (reference runs eval in its own process with
+    # its own sim, pql/utils/evaluator.py:14-29, so the train loop never
+    # waits; the single-chip analog is ASYNC DISPATCH: queue the jitted
+    # rollout now, keep training, and only materialize the floats at the
+    # NEXT eval event — the host never blocks on the eval execution)
+
+    def eval_policy_async(self, actor_params, obs_rms, rng):
+        """Dispatch the eval rollout without blocking; returns an opaque
+        handle of device futures for ``resolve``."""
+        return self._rollout(actor_params, obs_rms, rng)
+
+    @staticmethod
+    def resolve(handle) -> dict[str, float]:
+        """Materialize a handle from ``eval_policy_async`` (blocks only if
+        the rollout hasn't finished on-device yet)."""
+        return {k: float(v) for k, v in handle.items()}
+
     def check_if_should_stop(self, step: int | None = None) -> bool:
         """Stop on max_step if set, else wall-clock budget
         (reference evaluator.py:34-38)."""

@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 
 from pql_tpu.cfg import parse_cli, to_dict
 
@@ -162,6 +163,37 @@ def train_pql(cfg, logger: RunLogger) -> None:
             logger.log({"adapt/precompiled_rungs": float(len(rungs))}, step=0)
 
     best_ret = float("-inf")
+    # overlapped eval: one in-flight (handle, dispatch_step, param snapshot)
+    # at a time — dispatched now, resolved at the NEXT eval event, so the
+    # host thread never blocks behind the rollout (reference analog: the
+    # separate evaluator process, pql/utils/evaluator.py:14-29). The
+    # snapshot copies actor/critic/rms at dispatch time because
+    # train_block donates the state buffers — saving the "best model"
+    # later must not touch donated (deleted) arrays.
+    pending_eval = None
+
+    def _flush_eval(state):
+        nonlocal pending_eval, best_ret
+        if pending_eval is None:
+            return
+        handle, ev_step, (snap_actor, snap_critic, snap_rms) = pending_eval
+        pending_eval = None
+        eval_metrics = Evaluator.resolve(handle)
+        if ratio_ctl is not None:
+            new_ratios = ratio_ctl.update(float(eval_metrics["eval/return"]))
+            if new_ratios is not None:
+                agent.set_ratios(*new_ratios)
+                eval_metrics["train/critic_sample_ratio"] = new_ratios[0]
+        logger.log(eval_metrics, step=ev_step)
+        if eval_metrics["eval/return"] > best_ret and logger.run_dir:
+            best_ret = eval_metrics["eval/return"]
+            save_model_snapshot(
+                os.path.join(logger.run_dir, "best_model"),
+                snap_actor,
+                snap_critic,
+                snap_rms,
+            )
+
     it = _resumed_iter(cfg, state, resumed)
     log_gate = _Every(cfg.algo.log_freq, it)
     eval_gate = _Every(cfg.algo.eval_freq, it)
@@ -193,24 +225,20 @@ def train_pql(cfg, logger: RunLogger) -> None:
             last_log, last_steps = now, steps
             logger.log(host, step=steps)
         if eval_gate(it):
+            _flush_eval(state)  # resolve the PREVIOUS eval (usually done)
             k_eval, k = jax.random.split(k_eval)
-            eval_metrics = evaluator.eval_policy(state.actor_params, state.obs_rms, k)
-            if ratio_ctl is not None:
-                new_ratios = ratio_ctl.update(float(eval_metrics["eval/return"]))
-                if new_ratios is not None:
-                    agent.set_ratios(*new_ratios)
-                    eval_metrics["train/critic_sample_ratio"] = new_ratios[0]
-            logger.log(eval_metrics, step=steps_host)
-            if eval_metrics["eval/return"] > best_ret and logger.run_dir:
-                best_ret = eval_metrics["eval/return"]
-                save_model_snapshot(
-                    os.path.join(logger.run_dir, "best_model"),
-                    state.actor_params,
-                    state.critic_params,
-                    state.obs_rms,
-                )
+            snap = (
+                jax.tree_util.tree_map(jnp.copy, state.actor_params),
+                jax.tree_util.tree_map(jnp.copy, state.critic_params),
+                jax.tree_util.tree_map(jnp.copy, state.obs_rms),
+            )
+            handle = evaluator.eval_policy_async(
+                state.actor_params, state.obs_rms, k
+            )
+            pending_eval = (handle, steps_host, snap)
         _maybe_full_checkpoint(cfg, ckpt_gate, it, state)
         if evaluator.check_if_should_stop(steps_host):
+            _flush_eval(state)  # drain the in-flight eval before exiting
             break
     profiler.close()
 
