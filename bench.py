@@ -77,6 +77,13 @@ CONFIG_TIMEOUTS = {
     "allegro_pql_8192": max(CONFIG_TIMEOUT_S, 600.0),
     "allegro_pqld_16384": max(CONFIG_TIMEOUT_S, 600.0),
 }
+# budget-clamp floor per config: the two Allegro configs need ~200 s even
+# with a fully warm cache (init+warmup+block at 8-16k envs), so the
+# generic 120 s floor guaranteed a timeout for whichever ran last
+CLAMP_FLOORS = {
+    "allegro_pql_8192": 240.0,
+    "allegro_pqld_16384": 240.0,
+}
 
 
 # --------------------------------------------------------------------------
@@ -328,7 +335,7 @@ def main() -> None:
         # more than the total-budget overshoot.
         leash = CONFIG_TIMEOUTS.get(key, CONFIG_TIMEOUT_S)
         if key != HEADLINE:
-            leash = min(leash, max(BUDGET_S - elapsed, 120.0))
+            leash = min(leash, max(BUDGET_S - elapsed, CLAMP_FLOORS.get(key, 120.0)))
         result, diag = _run_subprocess(["--worker", key], leash, worker_env)
         if result and "steps_per_s" in result:
             value = float(result["steps_per_s"])

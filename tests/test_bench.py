@@ -165,8 +165,9 @@ def test_tail_config_timeout_clamped_to_remaining_budget(monkeypatch):
     # early configs get their full leash (budget not yet binding)
     assert timeouts[bench.HEADLINE] == bench.CONFIG_TIMEOUT_S
     # allegro_pql_8192 starts at elapsed=810 of 900: leash 600 -> clamped
-    # to the 120 s floor (remaining budget is only 90)
-    assert timeouts["allegro_pql_8192"] == 120.0
+    # to its 240 s floor (remaining budget is only 90; the generic floor
+    # is 120 but warm-cache Allegro inits alone need ~200 s)
+    assert timeouts["allegro_pql_8192"] == 240.0
     # the last config starts past the budget entirely: skipped, not run
     assert final["extra"]["allegro_pqld_16384"] == "skipped_budget"
     assert "allegro_pqld_16384" not in timeouts
