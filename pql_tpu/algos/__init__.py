@@ -15,10 +15,12 @@ from pql_tpu.algos.eqsd import EQSD, EQSD2
 from pql_tpu.algos.qtot import QTOTV1, QTOTV2
 from pql_tpu.algos.teams import IART, IPPOTeam, IPPOTeam2
 from pql_tpu.algos.ppov import IPPOV, PPOV, PPOVState
+from pql_tpu.algos.ddpgv import DDPGV, DDPGVState
 
 ALGO_REGISTRY = {
     "PQL": PQL,
     "DDPG": DDPG,
+    "DDPGV": DDPGV,
     "SAC": SAC,
     "CrossQ": CrossQ,
     "PPO": PPO,

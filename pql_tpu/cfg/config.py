@@ -184,6 +184,9 @@ def _algo_presets() -> dict[str, dict[str, Any]]:
         "pql": dict(name="PQL", eval_freq=200),
         "pql_d": dict(name="PQL", distl=True, eval_freq=200),
         "ddpg": dict(name="DDPG", eval_freq=100, update_times=8),
+        # visual off-policy through the C++ host ring (reserve_space
+        # analog, ref simple_replay.py:8-15)
+        "ddpgv": dict(name="DDPGV", eval_freq=100, update_times=4),
         "sac": dict(
             name="SAC",
             act_class="TanhDiagGaussianMLPPolicy",
