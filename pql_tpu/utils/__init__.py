@@ -12,10 +12,14 @@ def enable_compilation_cache(path: str | None = None, min_secs: float = 10.0) ->
     scalar-unrolled physics substep compiles in minutes the first time; a
     warm cache makes every later process start in seconds.
 
-    The default cache dir is REPO-LOCAL (``<repo>/.xla_cache``) so warmed
-    executables can be committed and survive a machine re-image — the
-    round-1..3 driver benches all lost configs to cold-cache compile time
-    on freshly imaged hosts. Override with $PQL_TPU_CACHE_DIR."""
+    The default cache dir is REPO-LOCAL (``<repo>/.xla_cache``) so one
+    warmed run benefits every later process on the same machine (bench
+    workers, the driver's dryrun). The dir is gitignored — cache entries
+    are platform/compiler-version-keyed binaries that silently miss after
+    any JAX/libtpu change, so they are never committed; re-warm with
+    ``scripts/warm_bench_cache.py`` instead. Override the location with
+    $PQL_TPU_CACHE_DIR (note the repo-root derivation assumes the package
+    runs from a source checkout)."""
     import os
 
     import jax
