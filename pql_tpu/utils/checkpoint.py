@@ -76,7 +76,21 @@ def save_model_snapshot(path: str, actor_params, critic_params, obs_rms) -> None
 def load_model_snapshot(path: str):
     """Load a weights-only snapshot saved by save_model_snapshot
     (the analog of the reference's wandb-artifact download + torch.load,
-    model_util.py:9-21). Returns {actor, critic, obs_rms-dict}."""
+    model_util.py:9-21). Returns {actor, critic, obs_rms-dict}.
+
+    ``wandb-artifact://entity/project/name:tag`` resolves through the
+    wandb Artifact API first (reference load_model, model_util.py:9-21)
+    and then loads the downloaded directory."""
+    prefix = "wandb-artifact://"
+    if path.startswith(prefix):
+        try:
+            import wandb  # noqa: PLC0415
+        except ImportError as e:  # pragma: no cover - wandb not in image
+            raise ImportError(
+                f"artifact={path} needs the wandb package; pass a local "
+                "checkpoint directory instead"
+            ) from e
+        path = wandb.Api().artifact(path[len(prefix) :]).download()
     return load_checkpoint(path)
 
 

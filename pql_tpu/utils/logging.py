@@ -63,6 +63,20 @@ class RunLogger:
             parts = " | ".join(f"{k}={v:.4g}" for k, v in metrics.items())
             print(f"[{time.time() - self.start_time:8.1f}s] step {step} | {parts}")
 
+    def log_artifact(self, dir_path: str, name: str, type: str = "model") -> None:
+        """Persist a checkpoint directory as a wandb Artifact — the
+        reference's checkpoint channel (its evaluator uploads every new
+        best model, pql/utils/evaluator.py:112-119 + model_util.py:24-41).
+        No-op outside wandb mode (local runs already have the directory
+        on disk)."""
+        if self._wandb is None:
+            return
+        import wandb  # noqa: PLC0415
+
+        art = wandb.Artifact(name, type=type)
+        art.add_dir(dir_path)
+        self._wandb.log_artifact(art)
+
     def close(self) -> None:
         if self._wandb is not None:
             self._wandb.finish()

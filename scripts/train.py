@@ -187,12 +187,11 @@ def train_pql(cfg, logger: RunLogger) -> None:
         logger.log(eval_metrics, step=ev_step)
         if eval_metrics["eval/return"] > best_ret and logger.run_dir:
             best_ret = eval_metrics["eval/return"]
-            save_model_snapshot(
-                os.path.join(logger.run_dir, "best_model"),
-                snap_actor,
-                snap_critic,
-                snap_rms,
-            )
+            best_dir = os.path.join(logger.run_dir, "best_model")
+            save_model_snapshot(best_dir, snap_actor, snap_critic, snap_rms)
+            # wandb mode: persist as an Artifact, the reference's best-model
+            # channel (evaluator.py:112-119); no-op for local runs
+            logger.log_artifact(best_dir, f"{cfg.task}_{cfg.algo.name}_model")
 
     it = _resumed_iter(cfg, state, resumed)
     log_gate = _Every(cfg.algo.log_freq, it)

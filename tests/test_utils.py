@@ -296,3 +296,96 @@ class TestRatioController:
             assert ctl.update(100.0) is None
         # a persistent stall DOES re-fire once the new window fills
         assert ctl.update(100.0) == (32, 2)
+
+
+class TestWandbArtifactChannel:
+    """The wandb best-model artifact channel (reference model_util.py:24-41
+    + evaluator.py:112-119), exercised against a FAKE wandb module (the
+    real package is absent on air-gapped pods by design)."""
+
+    def _fake_wandb(self, tmp_path):
+        import sys
+        import types
+
+        calls = {}
+
+        class FakeArtifact:
+            def __init__(self, name, type):
+                calls["artifact"] = (name, type)
+                self.dirs = []
+
+            def add_dir(self, d):
+                self.dirs.append(d)
+                calls["add_dir"] = d
+
+        class FakeRun:
+            def log(self, *a, **k):
+                pass
+
+            def log_artifact(self, art):
+                calls["logged"] = art
+
+            def finish(self):
+                pass
+
+        class FakeApi:
+            def artifact(self, spec):
+                calls["api_artifact"] = spec
+
+                class A:
+                    def download(self_inner):
+                        return str(tmp_path / "downloaded")
+
+                return A()
+
+        fake = types.ModuleType("wandb")
+        fake.Artifact = FakeArtifact
+        fake.Api = FakeApi
+        fake.init = lambda **k: FakeRun()
+        sys.modules["wandb"] = fake
+        return fake, calls
+
+    def test_log_artifact_roundtrip(self, tmp_path, monkeypatch):
+        import sys
+
+        fake, calls = self._fake_wandb(tmp_path)
+        try:
+            from pql_tpu.cfg import make_config
+            from pql_tpu.utils.logging import RunLogger
+
+            cfg = make_config(
+                "ddpg", task="Cartpole", num_envs=4,
+                logging__mode="wandb", logging__out_dir=str(tmp_path),
+                logging__run_name="artifact_test",
+            )
+            logger = RunLogger(cfg, {"a": 1})
+            ckpt = tmp_path / "best_model"
+            ckpt.mkdir()
+            (ckpt / "x.txt").write_text("payload")
+            logger.log_artifact(str(ckpt), "Cartpole_DDPG_model")
+            assert calls["artifact"] == ("Cartpole_DDPG_model", "model")
+            assert calls["add_dir"] == str(ckpt)
+            assert "logged" in calls
+            logger.close()
+        finally:
+            del sys.modules["wandb"]
+
+    def test_load_model_snapshot_resolves_artifact_scheme(self, tmp_path):
+        import sys
+
+        fake, calls = self._fake_wandb(tmp_path)
+        try:
+            from pql_tpu.utils import checkpoint as ck
+
+            # the downloaded dir must then be loaded as a checkpoint; stub
+            # load_checkpoint to observe the resolved path
+            orig = ck.load_checkpoint
+            ck.load_checkpoint = lambda p: {"path": p}
+            try:
+                out = ck.load_model_snapshot("wandb-artifact://e/p/model:v3")
+            finally:
+                ck.load_checkpoint = orig
+            assert calls["api_artifact"] == "e/p/model:v3"
+            assert out["path"].endswith("downloaded")
+        finally:
+            del sys.modules["wandb"]
