@@ -50,7 +50,11 @@ FINGER_BASE_R = 0.11
 FINGER_BASE_Z = 0.035
 
 
-def hand_model(dt: float = 1.0 / 480.0, n_fingers: int = N_FINGERS) -> RigidBodyModel:
+def hand_model(
+    dt: float = 1.0 / 480.0,
+    n_fingers: int = N_FINGERS,
+    control_mode: str = "position",
+) -> RigidBodyModel:
     """n_fingers × (1 abduction + 3 curl) hinges anchored at the palm rim
     + a free cube — the real Allegro DOF layout (4 DOF/finger, of which
     the proximal joint swings the finger sideways).
@@ -146,6 +150,14 @@ def hand_model(dt: float = 1.0 / 480.0, n_fingers: int = N_FINGERS) -> RigidBody
         friction_mu=1.2,
         contact_force_cap=80.0,
         max_dof_speed=30.0,
+        # IGE AllegroHand drives joints in POSITION mode (DOF_MODE_POS,
+        # stiffness 3.0, damping 0.1, effort ~0.7 N*m) — policies command
+        # target angles, the engine-side PD holds them. Torque-mode
+        # actions made sustained grasps needlessly hard to learn
+        # (the policy had to output gravity-compensating torques).
+        control_mode=control_mode,
+        act_kp=3.0,
+        act_kd=0.1,
     )
 
 
@@ -191,8 +203,15 @@ class AllegroHand:
     rot_eps = 0.1
     action_penalty = 0.0002
 
+    # IGE AllegroHand joint drive: position PD (see hand_model); the
+    # contact lab's scripted-gait scenarios use an explicit torque-mode
+    # variant (contact authority is identical — only actuation differs)
+    control_mode = "position"
+
     def __init__(self):
-        self.model = hand_model(n_fingers=self.n_fingers)
+        self.model = hand_model(
+            n_fingers=self.n_fingers, control_mode=self.control_mode
+        )
         self.cube = self.n_fingers * LINKS_PER_FINGER
         self.cube_q = self.model.q_start[self.cube]
         self.cube_v = self.model.v_start[self.cube]

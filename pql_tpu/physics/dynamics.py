@@ -356,11 +356,32 @@ def _bias_forces_s(model, Xup, S_axis, v, qd, f_ext_s, R_wb, p_wb):
     return C
 
 
-def _tau_s(model: RigidBodyModel, q, action):
-    """Actuation gears + soft hinge-limit torques (actuation, _limit_torque)."""
+def _tau_s(model: RigidBodyModel, q, action, qd=None):
+    """Actuation + soft hinge-limit torques (actuation, _limit_torque).
+
+    control_mode="torque": tau = gear * action (locomotion default).
+    control_mode="position": per-substep PD servo — IGE's joint-position
+    drive (DOF_MODE_POS; the AllegroHand reference task trains with
+    stiffness 3, damping 0.1): target = limit midpoint + action * half
+    range, tau = clip(kp*(target - q) - kd*qd, ±gear). Because this runs
+    INSIDE the substep loop on the current (q, qd), the servo is stable
+    at the physics rate, exactly like the engine-side PD in Isaac Gym."""
     tau = [0.0] * model.nv
-    for k, dof in enumerate(model.actuated_dofs):
-        tau[dof] = float(model.gear[k]) * jnp.clip(action[k], -1.0, 1.0)
+    if model.control_mode == "position":
+        for k, dof in enumerate(model.actuated_dofs):
+            lo, hi = float(model.limit_lo[dof]), float(model.limit_hi[dof])
+            mid, half = 0.5 * (lo + hi), 0.5 * (hi - lo)
+            # hinge dofs: q index == v index offset by the free-joint gap;
+            # actuated dofs are hinges, whose q slot is model.q_of_dof
+            qs = model.q_of_dof[dof]
+            target = mid + half * jnp.clip(action[k], -1.0, 1.0)
+            pd = model.act_kp * (target - q[qs]) - model.act_kd * (
+                qd[dof] if qd is not None else 0.0
+            )
+            tau[dof] = jnp.clip(pd, -float(model.gear[k]), float(model.gear[k]))
+    else:
+        for k, dof in enumerate(model.actuated_dofs):
+            tau[dof] = float(model.gear[k]) * jnp.clip(action[k], -1.0, 1.0)
     for i in range(model.nb):
         if model.joint_type[i] != HINGE:
             continue
@@ -461,7 +482,7 @@ def _step_parts(model: RigidBodyModel, q, qd, action, contact_fn=None, f_ext_s=N
             f_ext_s = contact_fn(model, R_wb, p_wb, v)
     M = _mass_matrix_s(model, Xup, S_axis)
     C = _bias_forces_s(model, Xup, S_axis, v, qd, f_ext_s, R_wb, p_wb)
-    tau = _tau_s(model, q, action)
+    tau = _tau_s(model, q, action, qd)
     qdd = _spd_solve_s(M, [tau[d] - C[d] for d in range(model.nv)])
     q2, qd2 = _integrate_parts(model, q, qd, qdd)
     if contact_state is not None:

@@ -73,6 +73,15 @@ class RigidBodyModel:
     # per-pair damping/friction gains are derived from point effective
     # masses and clamped to the explicit-integration stability bound
     contact_zeta: float = 1.0
+    # actuation mode: "torque" (tau = gear * action, the locomotion
+    # default) or "position" — a per-substep PD servo to a target angle,
+    # IGE's joint-position drive (Isaac Gym DOF_MODE_POS with per-dof
+    # stiffness/damping; the AllegroHand task trains with stiffness 3.0,
+    # damping 0.1, effort ~0.7 N*m). Position actions in [-1, 1] map
+    # linearly onto [limit_lo, limit_hi]; gear is the EFFORT CAP.
+    control_mode: str = "torque"
+    act_kp: float = 3.0
+    act_kd: float = 0.1
 
     # -------- derived layout (computed in __post_init__-style helpers) ----
 
@@ -111,6 +120,15 @@ class RigidBodyModel:
     @property
     def nu(self) -> int:
         return len(self.actuated_dofs)
+
+    @property
+    def q_of_dof(self) -> dict[int, int]:
+        """v-index → q-index for HINGE dofs (used by the position servo)."""
+        out = {}
+        for i, t in enumerate(self.joint_type):
+            if t == HINGE:
+                out[self.v_start[i]] = self.q_start[i]
+        return out
 
     def neutral_q(self) -> np.ndarray:
         """Identity pose: free joints at origin with unit quat, hinges at 0."""

@@ -255,14 +255,15 @@ def scenario_ant_stand():
 
 
 def scenario_hand_pinch():
-    """Scripted grasp-and-twist on the real AllegroHand model.
+    """Scripted grasp-and-twist on the real AllegroHand model (torque
+    actuation — see _TorqueHand).
 
     Phase A (0-0.5s): curl all fingers onto the cube (constant curl
     torque), abduction centered. Phase B (0.5-2.0s): hold the squeeze and
     drive every abduction joint through its range in the same rotational
     sense — with working friction the fingertips drag the cube's yaw
     along. Report cube yaw swept vs abduction sweep."""
-    task = AllegroHand()
+    task = _TorqueHand()
     m = task.model
     state = task.init_state(jax.random.PRNGKey(1))
     q = state["q"].at[task.cube_q + 3 : task.cube_q + 7].set(
@@ -313,6 +314,55 @@ def scenario_hand_pinch():
     return ok
 
 
+def scenario_hand_pd_hold():
+    """Position-mode servo sanity (the RL env default, IGE DOF_MODE_POS
+    analog): command a target posture and verify every actuated joint
+    converges to it and HOLDS against gravity — the learnability property
+    torque control lacks."""
+    task = AllegroHand()
+    assert task.model.control_mode == "position"
+    m = task.model
+    st = task.init_state(jax.random.PRNGKey(0))
+    q, qd, cs = st["q"], st["qd"] * 0, st["contact"]
+    n_dof = task.n_dof
+    # cube far away so fingers move freely
+    q = q.at[task.cube_q : task.cube_q + 3].set(jnp.array([0.5, 0.5, CUBE_HALF]))
+
+    # command: abduction +60% of range, curl to 0.9 rad
+    a = np.zeros(task.action_dim, np.float32)
+    is_abduct = np.arange(n_dof) % 4 == 0
+    a[is_abduct] = 0.6
+    a[~is_abduct] = (0.9 - 0.65) / 0.95
+
+    @jax.jit
+    def step(q, qd, cs):
+        return physics_substeps(
+            m, q, qd, jnp.asarray(a), task.substeps,
+            contact_fn=task._contact_fn, contact_state=cs,
+        )
+
+    for _ in range(90):  # 1.5 s
+        q, qd, cs = step(q, qd, cs)
+    dof = np.asarray(q[:n_dof])
+    err_abd = np.abs(dof[is_abduct] - 0.6 * 0.47).max()
+    err_curl = np.abs(dof[~is_abduct] - 0.9).max()
+    print(
+        f"hand_pd_hold: max abduction err {np.degrees(err_abd):5.2f} deg | "
+        f"max curl err {np.degrees(err_curl):5.2f} deg"
+    )
+    ok = err_abd < 0.06 and err_curl < 0.06
+    print(f"hand_pd_hold: {'PASS' if ok else 'FAIL'} (servo reaches and holds targets)")
+    return ok
+
+
+class _TorqueHand(AllegroHand):
+    """AllegroHand with torque-mode actuation: the scripted gait
+    controllers below were tuned as torque programs; the RL env default
+    is position PD (IGE parity) on the SAME contact physics."""
+
+    control_mode = "torque"
+
+
 def scenario_hand_goal():
     """Closed-loop scripted GOAL-REACHING on the AllegroHand env physics:
     drive the cube to a yaw-rotation target by finger gaiting — grasp,
@@ -323,7 +373,7 @@ def scenario_hand_goal():
     evidence the anchored-contact sim supports the reorientation
     strategy the RL flagship must learn (VERDICT r5 item 4; thresholds
     per IsaacGymEnvs AllegroHand, ref pql/utils/common.py:246-275)."""
-    task = AllegroHand()
+    task = _TorqueHand()
     m = task.model
     state = task.init_state(jax.random.PRNGKey(1))
     q = state["q"].at[task.cube_q + 3 : task.cube_q + 7].set(
@@ -409,6 +459,7 @@ SCENARIOS = {
     "ant_stand": scenario_ant_stand,
     "hand_pinch": scenario_hand_pinch,
     "hand_goal": scenario_hand_goal,
+    "hand_pd_hold": scenario_hand_pd_hold,
 }
 
 
