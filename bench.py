@@ -60,11 +60,12 @@ HEADLINE = "cartpole_pql_4096"
 # headline first (banked early), perf-critical Ant next, then the two
 # CHEAP configs (banked before any Allegro compile risk), and the
 # compile-heavy Allegro pair last — PQL-D@16384 at the very end so its
-# risk can't shadow anything else. AllegroHand's scalar-unrolled
-# physics traces for ~4.5 min even with a warm persistent compile
-# cache, so the two Allegro configs get a longer leash; a progress
-# line is banked after EVERY config, so even a driver kill mid-Allegro
-# (window ≈25 min, BENCH_r02 post-mortem) keeps everything measured.
+# risk can't shadow anything else. The round-5 physics compile cuts
+# (zero-folding + vectorized contacts) brought warm-cache Allegro
+# startup to ~200 s and cold to minutes (was: tens of minutes); the
+# Allegro pair keeps a longer leash for the cold case, and a progress
+# line is banked after EVERY config so even a driver kill mid-config
+# (BENCH_r02 post-mortem) keeps everything measured.
 CONFIG_KEYS = [
     "cartpole_pql_4096",
     "ant_pql_4096",

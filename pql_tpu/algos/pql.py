@@ -266,9 +266,12 @@ class PQL:
         The TPU analog of the reference's runtime rate controller
         (train_pql.py:127-158): ratios are exact static integers compiled
         into the step, so adapting them means rebuilding the jitted
-        programs (cheap under the persistent compilation cache — but
-        tracing a scalar-physics task still costs minutes; see
-        ``precompile_ratio_ladder`` for the stall-free path). The train
+        programs (cheap under the persistent compilation cache; a cold
+        scalar-physics re-jit still costs ~1-2 min — see
+        ``precompile_ratio_ladder`` for the stall-free path, noting the
+        axon backend can defer the server-side compile to an
+        executable's FIRST CALL, so even a precompiled rung may stall
+        once on first use when its cache entry is cold). The train
         state is a jit INPUT — params, optimizer, replay, rng and counters
         carry over untouched, so training continues seamlessly at the new
         ratios (tested: tests/test_algos.py ratio-switch counter test).
