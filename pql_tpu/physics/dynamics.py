@@ -152,10 +152,25 @@ def _limit_torque(model: RigidBodyModel, q: jax.Array) -> jax.Array:
     return tau
 
 
-def actuation(model: RigidBodyModel, action: jax.Array) -> jax.Array:
-    """Map [-1,1]^nu policy actions to joint torques via gear."""
+def actuation(
+    model: RigidBodyModel, action: jax.Array, q: jax.Array | None = None,
+    qd: jax.Array | None = None,
+) -> jax.Array:
+    """Map [-1,1]^nu policy actions to joint torques.
+
+    Matrix-path reference for the scalar ``_tau_s``: torque mode scales
+    by gear; position mode (IGE DOF_MODE_POS) runs the PD servo with
+    gear as the effort cap (pass q, qd)."""
     tau = jnp.zeros(model.nv)
     gear = jnp.asarray(model.gear)
+    if model.control_mode == "position":
+        for k, dof in enumerate(model.actuated_dofs):
+            lo, hi = float(model.limit_lo[dof]), float(model.limit_hi[dof])
+            mid, half = 0.5 * (lo + hi), 0.5 * (hi - lo)
+            target = mid + half * jnp.clip(action[k], -1.0, 1.0)
+            pd = model.act_kp * (target - q[model.q_of_dof[dof]]) - model.act_kd * qd[dof]
+            tau = tau.at[dof].set(jnp.clip(pd, -gear[k], gear[k]))
+        return tau
     for k, dof in enumerate(model.actuated_dofs):
         tau = tau.at[dof].set(gear[k] * jnp.clip(action[k], -1.0, 1.0))
     return tau

@@ -45,7 +45,7 @@ def _matrix_fd_step(model, q, qd, action, f_ext_world):
     v = body_velocities(model, Xup, S, qd)
     M = mass_matrix(model, Xup, S)
     C = bias_forces(model, Xup, S, v, qd, f_ext_world, R_wb, p_wb)
-    tau = actuation(model, action) + _limit_torque(model, q)
+    tau = actuation(model, action, q, qd) + _limit_torque(model, q)
     qdd = spd_solve(M, tau - C)
     qd_new = jnp.clip(qd + model.dt * qdd, -model.max_dof_speed, model.max_dof_speed)
     q_new = q
@@ -143,3 +143,40 @@ class TestScalarMatrixParity:
         q1, qd1 = jax.vmap(one)(q, qd, act)
         assert q1.shape == q.shape and qd1.shape == qd.shape
         assert bool(jnp.all(jnp.isfinite(q1))) and bool(jnp.all(jnp.isfinite(qd1)))
+
+
+class TestPositionControl:
+    """control_mode='position': the per-substep PD servo (IGE DOF_MODE_POS
+    analog — stiffness/damping/effort-cap; see physics/model.py) drives
+    actuated hinges to the commanded target and holds there."""
+
+    def test_servo_reaches_and_holds_target(self):
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from pql_tpu.envs.hand import hand_model
+        from pql_tpu.physics.dynamics import physics_substeps
+
+        m = hand_model(n_fingers=1, control_mode="position")
+        assert m.control_mode == "position"
+        q = jnp.asarray(m.neutral_q())
+        qd = jnp.zeros(m.nv)
+        # command: abduction to 0.3 of range, curls to 1.0 rad
+        a = np.zeros(m.nu, np.float32)
+        a[0] = 0.3
+        a[1:] = (1.0 - 0.65) / 0.95
+        step = jax.jit(lambda q, qd: physics_substeps(m, q, qd, jnp.asarray(a), 8))
+        for _ in range(90):
+            q, qd = step(q, qd)
+        dof = np.asarray(q[: m.nu])
+        assert abs(dof[0] - 0.3 * 0.47) < 0.05, dof
+        assert np.abs(dof[1:] - 1.0).max() < 0.05, dof
+        # torque mode with the same action does NOT settle at the target
+        mt = hand_model(n_fingers=1, control_mode="torque")
+        qt, qdt = jnp.asarray(mt.neutral_q()), jnp.zeros(mt.nv)
+        step_t = jax.jit(lambda q, qd: physics_substeps(mt, q, qd, jnp.asarray(a), 8))
+        for _ in range(90):
+            qt, qdt = step_t(qt, qdt)
+        assert np.abs(np.asarray(qt[: mt.nu])[1:] - 1.0).max() > 0.2
