@@ -114,7 +114,15 @@ def ant_model(dt: float = 1.0 / 240.0) -> RigidBodyModel:
 
 
 class Ant:
-    """Forward-locomotion quadruped (IGE 'Ant' analog)."""
+    """Forward-locomotion quadruped (IGE 'Ant' analog).
+
+    Reward composition mirrors IsaacGymEnvs ant.py compute_ant_reward:
+    progress (forward velocity) + alive 0.5 + heading alignment (0.5,
+    scaled below a 0.8 projection) + upright bonus (0.1 above 0.93)
+    − action cost 0.005·Σa² − electricity 0.05·Σ|a·q̇| − death penalty.
+    The BASELINE.md eval threshold (5000) is calibrated against that
+    composition, so omitting the alignment/upright terms (rounds 1-4)
+    understated parity returns by ~0.6/step."""
 
     obs_dim = 34  # 1 height + 4 quat + 3 lin vel + 3 ang vel + 3 up + 8 q + 8 qd + 4 feet
     action_dim = 8
@@ -123,6 +131,9 @@ class Ant:
 
     alive_bonus = 0.5
     ctrl_cost = 0.005
+    heading_weight = 0.5
+    up_weight = 0.1
+    energy_cost = 0.05
     termination_height = 0.22
     init_height = 0.42
     init_knee = 1.0
@@ -202,10 +213,20 @@ class Ant:
         dt_ctrl = m.dt * self.substeps
         forward_vel = (q[0] - x_before) / dt_ctrl
         up_proj = quat_rotate(q[3:7], jnp.array([0.0, 0.0, 1.0]))[2]
+        # heading/up bonuses + electricity cost per IGE ant.py
+        heading_proj = quat_rotate(q[3:7], jnp.array([1.0, 0.0, 0.0]))[0]
+        heading_reward = self.heading_weight * jnp.clip(heading_proj / 0.8, 0.0, 1.0)
+        up_reward = jnp.where(up_proj > 0.93, self.up_weight, 0.0)
+        electricity = self.energy_cost * jnp.sum(
+            jnp.abs(jnp.clip(action, -1.0, 1.0) * qd[6:])
+        ) / 20.0  # IGE scales dof velocities into ~[-1,1]; 20 rad/s here
         reward = (
             forward_vel
             + self.alive_bonus
+            + heading_reward
+            + up_reward
             - self.ctrl_cost * jnp.sum(jnp.square(action))
+            - electricity
         )
         fell = jnp.logical_or(q[2] < self.termination_height, up_proj < 0.3)
         bad = jnp.logical_not(jnp.all(jnp.isfinite(q)))
