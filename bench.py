@@ -319,6 +319,7 @@ def main() -> None:
         extra["platform"] = probe.get("platform")
 
     headline_value = -1.0
+    cache_env: dict[str, str] = {}
     queue = list(keys)
     while queue:
         key = queue.pop(0)
@@ -337,7 +338,21 @@ def main() -> None:
         leash = CONFIG_TIMEOUTS.get(key, CONFIG_TIMEOUT_S)
         if key != HEADLINE:
             leash = min(leash, max(BUDGET_S - elapsed, CLAMP_FLOORS.get(key, 120.0)))
-        result, diag = _run_subprocess(["--worker", key], leash, worker_env)
+        result, diag = _run_subprocess(
+            ["--worker", key], leash, {**worker_env, **cache_env}
+        )
+        if result is None and "INVALID_ARGUMENT" in diag and not cache_env:
+            # stale persistent-cache executables: the axon compile server
+            # restarts occasionally, after which cached TPU executables
+            # fail to LOAD with an opaque INVALID_ARGUMENT (observed
+            # 2026-08-20; a fresh cache dir fixed it immediately). Divert
+            # this and all remaining configs to a fresh cache dir and
+            # retry this one once.
+            cache_env = {"PQL_TPU_CACHE_DIR": "/tmp/pql_bench_fresh_cache"}
+            extra["stale_cache_retry_from"] = key
+            result, diag = _run_subprocess(
+                ["--worker", key], leash, {**worker_env, **cache_env}
+            )
         if result and "steps_per_s" in result:
             value = float(result["steps_per_s"])
             if key == HEADLINE:

@@ -201,3 +201,29 @@ def test_midbench_wedge_diverts_to_cpu_and_banks_positive():
     assert "headline_error" in final["extra"]
     # the compile-heavy Allegro configs are not attempted off-chip
     assert final["extra"]["allegro_pqld_16384"] == "skipped_backend_down"
+
+
+def test_stale_cache_invalid_argument_retries_with_fresh_cache_dir():
+    """Stale persistent-cache executables (axon server restart) fail with
+    INVALID_ARGUMENT at load; the bench must divert to a fresh cache dir
+    and retry rather than losing every TPU config (2026-08-20 incident)."""
+    calls = []
+
+    def fake(args, timeout, env_extra=None):
+        env_extra = env_extra or {}
+        if args[0] == "--probe":
+            return {"ok": True, "platform": "axon", "n": 1}, ""
+        calls.append((args[1], env_extra.get("PQL_TPU_CACHE_DIR")))
+        if env_extra.get("PQL_TPU_CACHE_DIR") is None:
+            return None, "rc=1; tail: jax.errors.JaxRuntimeError: INVALID_ARGUMENT: TPU backend error"
+        return {"key": args[1], "steps_per_s": 777.0}, ""
+
+    lines = _run_main(fake)
+    final = lines[-1]
+    assert final["value"] == 777.0
+    assert final["extra"]["stale_cache_retry_from"] == bench.HEADLINE
+    # headline tried twice (stale then fresh); later configs go straight
+    # to the fresh cache dir
+    assert calls[0] == (bench.HEADLINE, None)
+    assert calls[1] == (bench.HEADLINE, "/tmp/pql_bench_fresh_cache")
+    assert all(c[1] == "/tmp/pql_bench_fresh_cache" for c in calls[1:])
