@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from pql_tpu.physics import FREE, Geom, HINGE, RigidBodyModel
 from pql_tpu.physics.contact import (
     add_fext_s,
+    bowl_anchored_v,
     box_ground_anchored_v,
     box_ground_contacts,
     box_ground_contacts_s,
@@ -116,8 +117,13 @@ def hand_model(
             # abduction: ±0.47 rad (Allegro joint-0 spec)
             limit_lo[dof], limit_hi[dof] = -0.47, 0.47
         else:
-            # curl range: slightly hyperextended to closed fist
-            limit_lo[dof], limit_hi[dof] = -0.3, 1.6
+            # curl range: hyperextension to -0.6 (the real hand's -0.3,
+            # scaled for this compressed palm geometry) so a retracting
+            # finger LIFTS CLEAR of the cube — without that clearance the
+            # regrasp half of finger gaiting is geometrically blocked
+            # (measured: abduction recentering stalls against the held
+            # cube; VERDICT r5 item 4 sanctions iterating joint ranges)
+            limit_lo[dof], limit_hi[dof] = -0.6, 1.6
     damping = np.zeros(nv, np.float32)
     damping[:n_dof] = 0.08
     # reflected motor inertia: the real Allegro's gearmotors dominate the
@@ -208,6 +214,17 @@ class AllegroHand:
     # variant (contact authority is identical — only actuation differs)
     control_mode = "position"
 
+    # palm geometry: "bowl" cradles the cube in a shallow spherical
+    # concavity the way IGE's palm-up hand supports it — fingertips can
+    # ROLL the cube continuously, where the flat plane demands discrete
+    # stick-twist-release gaiting (round-5 flagship diagnosis,
+    # LEARNING.md). The bowl is EXPERIMENTAL (inside the rim only;
+    # plane outside): the scripted-solvability scenarios are tuned for
+    # the flat palm, so flat stays the default until a bowl-tuned gait
+    # and an RL A/B validate the switch.
+    palm = "flat"
+    bowl_radius = 0.09
+
     def __init__(self):
         self.model = hand_model(
             n_fingers=self.n_fingers, control_mode=self.control_mode
@@ -227,6 +244,18 @@ class AllegroHand:
             )
             for g in m.geoms
         ]
+        # Finger-cube pairs: springs at full stiffness (soft springs sink
+        # fingertips ~5 mm into the cube and flip the inside-box normal
+        # branch — measured loss of all drag authority), but the
+        # TANGENTIAL viscous slope kdt reduced 4x: at the derived bound
+        # the cube's low-effective-mass ROTATIONAL mode is viscously
+        # UNSTABLE — a statically squeezed cube chattered at
+        # |w| ~ 10-50 rad/s, saturating the angular-velocity obs in every
+        # r5 flagship rollout (LEARNING.md). kdt x0.25 kills the chatter
+        # outright (measured |w| -> 0.00) with stick and penetration
+        # depth unchanged.
+        from pql_tpu.physics.contact import PairParams
+
         self._pp_cube = [
             derive_pair(
                 m,
@@ -235,8 +264,26 @@ class AllegroHand:
             )
             for g in m.geoms
         ]
+        self._pp_cube = [
+            PairParams(
+                kp=p.kp, kd=p.kd, mu=p.mu, cap=p.cap, kpt=p.kpt, kdt=0.25 * p.kdt
+            )
+            for p in self._pp_cube
+        ]
         self._pp_corner = derive_pair(m, m_corner, n_share=4)
         self.n_contact_pairs = 2 * len(m.geoms) + 8
+        # bowl palm: center height so the cube's rest pose (bottom-face
+        # corners on the shell) sits at the same height as on the flat
+        # palm — zc = sqrt(R^2 - 2*half^2), bottom corners at z = 0.
+        # Bowl gains derive with n_share=8: opposing corners' inward
+        # normals CONVERGE, so springs load each other pairwise and the
+        # plane-stable gains chatter (measured: the cube trampolines).
+        self._pp_bowl = derive_pair(m, m_corner, n_share=8)
+        self._bowl_center = (
+            0.0,
+            0.0,
+            float(np.sqrt(self.bowl_radius**2 - 2.0 * CUBE_HALF**2)),
+        )
 
     def init_state(self, rng):
         m = self.model
@@ -294,9 +341,15 @@ class AllegroHand:
         f2, idx = sphere_box_anchored_v(
             m, R_wb, p_wb, v, self.cube, half, cs, cs_new, idx, self._pp_cube
         )
-        f3, _ = box_ground_anchored_v(
-            m, R_wb, p_wb, v, self.cube, half, cs, cs_new, idx, self._pp_corner
-        )
+        if self.palm == "bowl":
+            f3, _ = bowl_anchored_v(
+                m, R_wb, p_wb, v, self.cube, half, self._bowl_center,
+                self.bowl_radius, cs, cs_new, idx, self._pp_bowl,
+            )
+        else:
+            f3, _ = box_ground_anchored_v(
+                m, R_wb, p_wb, v, self.cube, half, cs, cs_new, idx, self._pp_corner
+            )
         return add_fext_s(f1, f2, f3), cs_new
 
     def dynamics(self, state, action, rng):

@@ -724,3 +724,50 @@ def box_ground_anchored_v(
     )
     _scatter_anchors(cs_new, base_idx, range(8), sa.v3_sub(pos, dxt_new), eng_new)
     return f_ext, base_idx + 8
+
+
+def bowl_anchored_v(
+    model, R_wb, p_wb, v, box_body, half, center, radius, cs, cs_new, base_idx, pp
+):
+    """Oriented-box corners vs the INSIDE of a spherical bowl (anchored
+    friction, world-frame anchors) — the cradled-palm geometry of the
+    reference task: IGE's palm-up AllegroHand supports the cube in a
+    concavity, so fingertips can ROLL it continuously instead of needing
+    stick-twist-release gaits on a flat plane (round-5 flagship
+    diagnosis, LEARNING.md). Bowl: center [3] and radius (python
+    floats); a corner at distance d from the center penetrates the shell
+    by (d - radius), with the surface normal pointing back toward the
+    center. Same pair-state layout as box_ground_anchored_v (8 pairs)."""
+    Rb, pb = R_wb[box_body], p_wb[box_body]
+    omega, vlin = v[box_body][:3], v[box_body][3:]
+    signs = _np.asarray(_CORNER_SIGNS, _np.float32)
+    local = [signs[:, k] * half[k] for k in range(3)]
+    pos = sa.v3_add(pb, sa.m33_vec(Rb, local))
+    vel = sa.m33_vec(Rb, sa.v3_add(vlin, sa.v3_cross(omega, local)))
+    rel = [sa.ssub(pos[k], float(center[k])) for k in range(3)]
+    d = sa.v3_norm(rel) + 1e-9
+    depth_bowl = d - float(radius)
+    n_bowl = sa.v3_scale(rel, -1.0 / d)
+    # inside the rim (where the shell meets z=0) the shell is the
+    # support; outside, fall back to the plane — otherwise the "bowl"
+    # would act as an infinite arena shell pulling far-away cubes back
+    r_rim2 = float(radius) ** 2 - float(center[2]) ** 2
+    in_rim = (pos[0] * pos[0] + pos[1] * pos[1]) < r_rim2
+    depth = jnp.where(in_rim, depth_bowl, -pos[2])
+    normal = [
+        jnp.where(in_rim, n_bowl[0], 0.0),
+        jnp.where(in_rim, n_bowl[1], 0.0),
+        jnp.where(in_rim, n_bowl[2], 1.0),
+    ]
+    ref = pos[2]
+    anchor, engaged = _gather_anchors(cs, base_idx, range(8), ref)
+    dx = sa.v3_sub(pos, anchor)
+    force, dxt_new, eng_new = _anchored_force_s(depth, normal, vel, dx, engaged, pp)
+    torque = sa.v3_cross(pos, force)
+    f_ext = _zero_fext(model.nb)
+    f_ext[box_body] = sa.sv6_add(
+        f_ext[box_body],
+        [jnp.sum(torque[k]) for k in range(3)] + [jnp.sum(force[k]) for k in range(3)],
+    )
+    _scatter_anchors(cs_new, base_idx, range(8), sa.v3_sub(pos, dxt_new), eng_new)
+    return f_ext, base_idx + 8

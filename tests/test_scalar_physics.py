@@ -163,10 +163,13 @@ class TestPositionControl:
         assert m.control_mode == "position"
         q = jnp.asarray(m.neutral_q())
         qd = jnp.zeros(m.nv)
-        # command: abduction to 0.3 of range, curls to 1.0 rad
+        # command: abduction to 0.3 of range, curls to 1.0 rad (mapped
+        # through the model's actual limits)
+        lo, hi = float(m.limit_lo[1]), float(m.limit_hi[1])
+        mid, halfr = 0.5 * (lo + hi), 0.5 * (hi - lo)
         a = np.zeros(m.nu, np.float32)
         a[0] = 0.3
-        a[1:] = (1.0 - 0.65) / 0.95
+        a[1:] = (1.0 - mid) / halfr
         step = jax.jit(lambda q, qd: physics_substeps(m, q, qd, jnp.asarray(a), 8))
         for _ in range(90):
             q, qd = step(q, qd)
