@@ -89,6 +89,11 @@ class PQLState:
     len_tracker: Tracker
     success_tracker: Tracker
     rng: jax.Array
+    # PER-ENV step counter (sim steps each env has taken = iterations x
+    # horizon). Stored per-env so int32 can never overflow: the TOTAL
+    # env-step count exceeds 2^31 within ~35 minutes at flagship rate
+    # (the r5 'calm' probe wrapped to negative steps at 2.15B) — hosts
+    # derive total = env_steps * num_envs in arbitrary-precision python.
     env_steps: jax.Array
     critic_update_count: jax.Array
     actor_update_count: jax.Array
@@ -377,7 +382,7 @@ class PQL:
         # schedulers (pql_actor.py:44-54) but never steps them; this is
         # the working version. decay=None → static std_max (identical
         # numerics to the undecayed path).
-        iter_idx = state.env_steps // (cfg.algo.horizon_len * self.num_envs)
+        iter_idx = state.env_steps // cfg.algo.horizon_len
         std_hi = schedule_value(cfg.algo.noise, iter_idx)
 
         # ---------------- sim phase (pql_actor.explore_env, :87-127) ------
@@ -454,7 +459,7 @@ class PQL:
             nstep=nstep,
             replay=replay,
             rng=rng,
-            env_steps=state.env_steps + horizon * self.num_envs,
+            env_steps=state.env_steps + horizon,
         )
 
         # ---------------- critic phase (pql_v_learner.learn, :73-115) -----

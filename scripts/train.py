@@ -62,15 +62,18 @@ class _Every:
         return False
 
 
-def _resumed_iter(cfg, state, resumed: bool, has_warmup: bool = True) -> int:
+def _resumed_iter(cfg, state, resumed: bool, has_warmup: bool = True,
+                  per_env: bool = False) -> int:
     """Outer-loop iteration count implied by a resumed env_steps counter,
     excluding warm-up exploration (``warm_up`` sim steps × num_envs, run
     outside the loop both in PQL's warmup block and the baselines'
-    explore(random=True))."""
+    explore(random=True)). ``per_env``: the counter stores per-env steps
+    (PQL — int32 overflow protection, see PQLState.env_steps)."""
     if not resumed:
         return 0
-    warm_steps = getattr(cfg.algo, "warm_up", 0) * cfg.num_envs if has_warmup else 0
-    steps_per_iter = cfg.algo.horizon_len * cfg.num_envs
+    envs = 1 if per_env else cfg.num_envs
+    warm_steps = (getattr(cfg.algo, "warm_up", 0) if has_warmup else 0) * envs
+    steps_per_iter = cfg.algo.horizon_len * envs
     return max(0, int(state.env_steps) - warm_steps) // steps_per_iter
 
 
@@ -193,18 +196,18 @@ def train_pql(cfg, logger: RunLogger) -> None:
             # channel (evaluator.py:112-119); no-op for local runs
             logger.log_artifact(best_dir, f"{cfg.task}_{cfg.algo.name}_model")
 
-    it = _resumed_iter(cfg, state, resumed)
+    it = _resumed_iter(cfg, state, resumed, per_env=True)
     log_gate = _Every(cfg.algo.log_freq, it)
     eval_gate = _Every(cfg.algo.eval_freq, it)
     ckpt_gate = _checkpoint_gate(cfg, it)
-    last_log, last_steps = time.time(), int(state.env_steps)
+    last_log, last_steps = time.time(), int(state.env_steps) * cfg.num_envs
     # host-side step counter: each train_block advances env_steps by a
     # deterministic ipc×horizon×num_envs, so the stop/gate checks never
     # need the device counter — materializing it (int(state.env_steps))
     # every iteration would force a host↔device sync per dispatch and
     # stall the async pipeline behind the ~3 ms tunnel latency. Device
     # counters are read only at log/eval/checkpoint events.
-    steps_host = int(state.env_steps)
+    steps_host = int(state.env_steps) * cfg.num_envs
     steps_per_call = agent.iters_per_call * cfg.algo.horizon_len * cfg.num_envs
     profiler = _ProfilerHook(cfg)
     while True:
@@ -214,7 +217,7 @@ def train_pql(cfg, logger: RunLogger) -> None:
         profiler.tick(it)
         if log_gate(it):
             host = {k: float(v) for k, v in metrics.items()}
-            host["speed/env_steps"] = steps = int(state.env_steps)
+            host["speed/env_steps"] = steps = int(state.env_steps) * cfg.num_envs
             host["speed/critic_updates"] = int(state.critic_update_count)
             host["speed/actor_updates"] = int(state.actor_update_count)
             # measured rate: Δ(device counter)/Δt — never inferred from

@@ -48,7 +48,8 @@ class TestPQLFused:
         agent, state = agent_state
         state, _ = agent.warmup(state)
         assert int(state.replay.total_writes) == agent.cfg.algo.warm_up
-        assert int(state.env_steps) == agent.cfg.algo.warm_up * agent.cfg.num_envs
+        # per-env counter (int32 overflow protection, see PQLState.env_steps)
+        assert int(state.env_steps) == agent.cfg.algo.warm_up
         assert int(state.critic_update_count) == 0
 
     def test_update_ratios_exact(self, agent_state):
