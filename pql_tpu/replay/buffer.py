@@ -107,6 +107,15 @@ def create_replay(
     for name, dim in dims:
         layout.append((name, start, dim))
         start += dim
+    if start < 64:
+        # Lane padding: TPU tiles the minor dim to 128 lanes; a packed row
+        # far below that (Cartpole: D=11) makes EVERY ring write and
+        # batch gather pad — per-op traces show 0.84 ms/iter of pure
+        # `pad` ops plus extra fusion time on the narrow-row configs
+        # (PERF.md round-5 attribution). Zero columns up to 64 keep the
+        # tiles half-full; rows ≥64 are left exactly as-is (their
+        # programs — and compile-cache entries — stay byte-identical).
+        start = 64
     return ReplayState(
         data=jnp.zeros((slots, num_envs, start), obs_dtype),
         ptr=jnp.zeros((), jnp.int32),
@@ -118,14 +127,19 @@ def create_replay(
 
 
 def _pack(state: ReplayState, rows: dict[str, jax.Array]) -> jax.Array:
-    """Concatenate a field dict into packed [T, E, D] rows (layout order)."""
+    """Concatenate a field dict into packed [T, E, D] rows (layout order),
+    zero-filling any lane-padding columns (see create_replay)."""
     parts = []
     for name, _s, d in state.layout:
         v = rows[name]
         if v.ndim == 2:  # [T, E] scalar field
             v = v[..., None]
         parts.append(v.astype(state.data.dtype))
-    return jnp.concatenate(parts, axis=-1)
+    packed = jnp.concatenate(parts, axis=-1)
+    pad = state.data.shape[-1] - packed.shape[-1]
+    if pad:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
+    return packed
 
 
 def replay_add(state: ReplayState, rows: dict[str, jax.Array]) -> ReplayState:
