@@ -419,3 +419,30 @@ class TestPrefetchBatches:
         c1, a1 = run(True)
         np.testing.assert_array_equal(c0, c1)
         np.testing.assert_array_equal(a0, a1)
+
+
+class TestStepCounterOverflowSafety:
+    """PQL's device counter stores PER-ENV steps so int32 can never wrap
+    (the r5 'calm' probe logged step -1.54e9 past 2.15B total steps when
+    the counter stored totals)."""
+
+    def test_per_env_counter_stays_small(self):
+        import jax
+
+        from pql_tpu.algos.pql import PQL
+        from pql_tpu.cfg import make_config
+
+        cfg = make_config(
+            "pql", task="PointMass", num_envs=64, algo__batch_size=128,
+            algo__memory_size=4096, algo__warm_up=2, logging__mode="off",
+        )
+        agent = PQL(cfg)
+        state = agent.init(jax.random.PRNGKey(0))
+        state, _ = agent.warmup(state)
+        for _ in range(3):
+            state, _ = agent.train_iter(state)
+        # warm_up(2) + 3 iterations x horizon(1) = 5 per env — NOT x num_envs
+        assert int(state.env_steps) == 2 + 3
+        # the total a 2.15B-step run implies stays far under int32 as a
+        # per-env count: 2.15e9 / 8192 envs = ~262k
+        assert (2_150_000_000 // 8192) < 2**31
