@@ -472,11 +472,16 @@ KNOWN_REGRESSIONS = {
     "hand_goal": (
         "the round-5 chatter fix (finger-cube kdt x0.25 — the viscous slope "
         "was rotationally unstable and saturated the cube angular-velocity "
-        "obs at 10-50 rad/s in every flagship rollout) calms the contacts "
-        "so much that this gait controller's DISENGAGE phase no longer "
-        "ratchets past the held cube; the grasp-and-drag primitive still "
-        "passes (hand_pinch: 45 deg/sweep, was 35) and the controller "
-        "needs re-tuning for the stickier dynamics"
+        "obs at 10-50 rad/s in every flagship rollout) exposed FRICTION "
+        "SELF-LOCKING in this controller's disengage phase: after the "
+        "twist, the four fingers wedge the cube like a 4-jaw chuck "
+        "(mu=1.2 > the ~45deg self-locking friction angle; cube held "
+        "lifted at z=0.042, abduction jammed past its limit against "
+        ">0.75 N*m of restoring torque, wiggle-assist does not break "
+        "it). The old chattery contacts escaped the wedge by vibration. "
+        "Real physics, not a bug — the grasp-and-drag primitive still "
+        "passes (hand_pinch: 45 deg/sweep, was 35); the gait needs a "
+        "wedge-aware release (or the bowl palm) to re-certify"
     ),
 }
 
